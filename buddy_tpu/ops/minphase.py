@@ -1,0 +1,45 @@
+"""Hilbert transform and minimum-phase RIR projection.
+
+Parity target: utils/reverb_utils.py:3-23 in the reference.  The blind
+subband operator's consistency projection (``cons``) runs the estimated RIR
+through this minimum-phase reconstruction every inner optimization step, so
+it sits on the hot path of blind dereverberation and must be differentiable.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _heaviside_window(n: int) -> np.ndarray:
+    # Reference builds 2*heaviside(linspace(-1,1,n)) then flips it
+    # (reverb_utils.py:4-5).  linspace(-1,1,n) crosses zero only for odd n,
+    # where heaviside(0)=1 contributes a 2; we reproduce that exactly.
+    x = np.linspace(-1.0, 1.0, n)
+    w = 2.0 * np.heaviside(x, 1.0)
+    return w[::-1].copy()
+
+
+def hilbert(h: jax.Array) -> jax.Array:
+    """FFT-window Hilbert transform, matching reverb_utils.hilbert."""
+    window = jnp.asarray(_heaviside_window(h.shape[-1]), dtype=h.real.dtype)
+    return jnp.fft.ifft(window * jnp.fft.fft(h))
+
+
+def minimum_phase_version(h: jax.Array) -> jax.Array:
+    """Project a time-domain RIR to its minimum-phase-lag version.
+
+    Cepstral/Hilbert method with 2x zero padding, matching
+    reverb_utils.minimum_phase_version (reverb_utils.py:9-23): the returned
+    filter has the same magnitude spectrum with minimum phase, making its
+    inverse causal and stable.
+    """
+    t_orig = h.shape[-1]
+    hp = jnp.pad(h, [(0, 0)] * (h.ndim - 1) + [(0, t_orig)])
+    H = jnp.fft.fft(hp)
+    log_mag = jnp.log(jnp.abs(H) + 1e-8)
+    min_phase = -jnp.imag(hilbert(log_mag))
+    rec = jnp.fft.ifft(jnp.abs(H) * jnp.exp(1j * min_phase)).real
+    return rec[..., :t_orig]

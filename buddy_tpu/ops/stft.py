@@ -1,0 +1,134 @@
+"""STFT / ISTFT with torch.stft semantic parity, in pure JAX.
+
+Every loss and operator in BUDDy depends on exact torch.stft/istft semantics
+(reference: networks/ncsnpp.py:473-496 for the model's 510/128 hann STFT and
+testing/operators/subband_filtering.py:76-80 for the operators' 1024/128
+padded-window STFT).  This module reproduces:
+
+* center=True padding of ``n_fft//2`` on both sides (``reflect`` is the
+  torch.stft default used by the model; the operators pass ``constant``),
+* frame extraction at hop intervals followed by a windowed rfft,
+* istft overlap-add with window-squared-envelope normalization, center
+  trimming, and the ``length`` crop.
+
+The window is always expected at full ``n_fft`` length (the reference either
+uses win_length == n_fft, or explicitly right-pads a shorter window to n_fft,
+subband_filtering.py:34 — so torch's centered window padding never triggers).
+
+TPU notes: framing is a gather and overlap-add a scatter-add; both are tiny
+next to the U-Net and FFTs they feed.  rfft/irfft lower to XLA's FFT on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hann_window(n: int, dtype=jnp.float32) -> jax.Array:
+    """Periodic Hann window — torch.hann_window(n, periodic=True) parity."""
+    # periodic=True means the window is hann(n+1)[:-1]: 0.5*(1-cos(2*pi*k/n)).
+    k = np.arange(n)
+    w = 0.5 * (1.0 - np.cos(2.0 * np.pi * k / n))
+    return jnp.asarray(w, dtype=dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length", "center", "pad_mode"))
+def stft(
+    x: jax.Array,
+    window: jax.Array,
+    *,
+    n_fft: int,
+    hop_length: int,
+    center: bool = True,
+    pad_mode: str = "reflect",
+) -> jax.Array:
+    """torch.stft parity (onesided, normalized=False, return_complex=True).
+
+    Args:
+        x: (..., T) real signal.
+        window: (n_fft,) analysis window (already padded to n_fft).
+    Returns:
+        (..., n_fft//2 + 1, n_frames) complex64 spectrogram.
+    """
+    assert window.shape[-1] == n_fft, "window must be length n_fft (pre-padded)"
+    if center:
+        pad = n_fft // 2
+        pad_widths = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
+        x = jnp.pad(x, pad_widths, mode=pad_mode)
+    length = x.shape[-1]
+    n_frames = 1 + (length - n_fft) // hop_length
+    idx = np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
+    frames = x[..., idx]  # (..., n_frames, n_fft)
+    spec = jnp.fft.rfft(frames * window, axis=-1)
+    return jnp.swapaxes(spec, -1, -2)  # (..., F, n_frames)
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length", "center", "length"))
+def istft(
+    spec: jax.Array,
+    window: jax.Array,
+    *,
+    n_fft: int,
+    hop_length: int,
+    center: bool = True,
+    length: int | None = None,
+) -> jax.Array:
+    """torch.istft parity (onesided, normalized=False).
+
+    Overlap-adds windowed irfft frames, divides by the window-squared
+    envelope, trims the ``center`` padding, and crops/zero-pads to ``length``.
+
+    Args:
+        spec: (..., F, n_frames) complex spectrogram with F == n_fft//2 + 1.
+    Returns:
+        (..., out_length) real signal.
+    """
+    assert window.shape[-1] == n_fft
+    frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
+    frames = frames * window  # synthesis window
+    n_frames = frames.shape[-2]
+    ola_len = n_fft + hop_length * (n_frames - 1)
+
+    idx = np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
+    y = jnp.zeros(frames.shape[:-2] + (ola_len,), dtype=frames.dtype)
+    y = y.at[..., idx].add(frames)
+
+    env = jnp.zeros((ola_len,), dtype=frames.dtype)
+    env = env.at[idx.reshape(-1)].add(jnp.tile(window * window, n_frames))
+    # torch.istft asserts the envelope is nonzero over the output region; we
+    # guard the division the same way its kernel does (tiny-envelope -> skip).
+    y = y / jnp.where(env > 1e-11, env, 1.0)
+
+    if center:
+        start = n_fft // 2
+        if length is not None:
+            end = start + length
+            # torch zero-pads if the OLA result is shorter than `length`.
+            if end > ola_len:
+                y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, end - ola_len)])
+            y = y[..., start:end]
+        else:
+            y = y[..., start: ola_len - n_fft // 2]
+    elif length is not None:
+        if length > ola_len:
+            y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, length - ola_len)])
+        y = y[..., :length]
+    return y
+
+
+def pad_spec_frames(spec: jax.Array, multiple: int = 16) -> jax.Array:
+    """Zero-pad the frame axis (last) to a multiple of ``multiple``.
+
+    Parity with the model wrapper's pad-to-16 rule (ncsnpp.py:481-484) so the
+    three /2 downsamplings in the U-Net see even frame counts.
+    """
+    n = spec.shape[-1]
+    rem = n % multiple
+    if rem == 0:
+        return spec
+    pad = multiple - rem
+    return jnp.pad(spec, [(0, 0)] * (spec.ndim - 1) + [(0, pad)])

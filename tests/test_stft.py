@@ -1,0 +1,150 @@
+"""Golden parity tests for the signal core against torch (CPU).
+
+The reference's every loss/operator depends on torch.stft/istft semantics;
+these tests pin our JAX implementations to the torch outputs within float32
+tolerance (SURVEY.md §4: golden tests vs the PyTorch reference).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from buddy_tpu.ops import (
+    stft, istft, hann_window, pad_spec_frames,
+    fft_convolve, hilbert, minimum_phase_version,
+)
+
+
+def _torch_hann(n):
+    return torch.hann_window(n, periodic=True)
+
+
+def test_hann_window_parity():
+    for n in (510, 512, 1024):
+        ours = np.asarray(hann_window(n))
+        theirs = _torch_hann(n).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+@pytest.mark.parametrize("n_fft,hop,pad_mode,length", [
+    (510, 128, "reflect", 65536),   # model STFT (conf/network/ncsnpp.yaml:2-5)
+    (510, 128, "reflect", 33600),
+    (1024, 128, "constant", 13824), # operator STFT (subband_filtering.py:80)
+])
+def test_stft_parity(rng, n_fft, hop, pad_mode, length):
+    x = rng.standard_normal(length).astype(np.float32)
+    if n_fft == 1024:
+        # operators use a hann(512) right-padded to 1024 (subband_filtering.py:34)
+        w = torch.nn.functional.pad(_torch_hann(512), (0, 512))
+    else:
+        w = _torch_hann(n_fft)
+
+    ref = torch.stft(torch.from_numpy(x), n_fft, hop_length=hop, win_length=n_fft,
+                     window=w, center=True, onesided=True, return_complex=True,
+                     normalized=False, pad_mode=pad_mode).numpy()
+    ours = np.asarray(stft(jnp.asarray(x), jnp.asarray(w.numpy()),
+                           n_fft=n_fft, hop_length=hop, pad_mode=pad_mode))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+@pytest.mark.parametrize("n_fft,hop,length", [
+    (510, 128, 65536),
+    (1024, 128, 13824),
+])
+def test_istft_parity(rng, n_fft, hop, length):
+    x = rng.standard_normal(length).astype(np.float32)
+    if n_fft == 1024:
+        w = torch.nn.functional.pad(_torch_hann(512), (0, 512))
+    else:
+        w = _torch_hann(n_fft)
+    spec = torch.stft(torch.from_numpy(x), n_fft, hop_length=hop,
+                      window=w, center=True, onesided=True, return_complex=True,
+                      pad_mode="constant")
+
+    for L in (length, length - 100):
+        ref = torch.istft(spec, n_fft, hop_length=hop, win_length=n_fft, window=w,
+                          center=True, onesided=True, length=L).numpy()
+        ours = np.asarray(istft(jnp.asarray(spec.numpy()), jnp.asarray(w.numpy()),
+                                n_fft=n_fft, hop_length=hop, length=L))
+        assert ours.shape == ref.shape
+        # tail samples sit under a tiny OLA envelope for the right-padded
+        # window, amplifying fp32 FFT rounding — hence the looser atol.
+        np.testing.assert_allclose(ours, ref, atol=5e-4)
+
+
+def test_istft_padded_frames_parity(rng):
+    """The model pads the frame axis to a multiple of 16 before istft
+    (ncsnpp.py:481-484); the padded frames change the OLA envelope at the
+    tail, so parity must hold for the padded case too."""
+    n_fft, hop, length = 510, 128, 65536
+    x = rng.standard_normal(length).astype(np.float32)
+    w = _torch_hann(n_fft)
+    spec = torch.stft(torch.from_numpy(x), n_fft, hop_length=hop, window=w,
+                      center=True, return_complex=True)
+    spec_padded = torch.nn.functional.pad(spec, (0, 16 - spec.shape[-1] % 16))
+    ref = torch.istft(spec_padded, n_fft, hop_length=hop, window=w,
+                      center=True, length=length).numpy()
+    ours_spec = pad_spec_frames(jnp.asarray(spec.numpy()), 16)
+    ours = np.asarray(istft(ours_spec, jnp.asarray(w.numpy()),
+                            n_fft=n_fft, hop_length=hop, length=length))
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_stft_istft_roundtrip(rng):
+    x = rng.standard_normal(65536).astype(np.float32)
+    w = hann_window(510)
+    spec = stft(jnp.asarray(x), w, n_fft=510, hop_length=128)
+    y = istft(spec, w, n_fft=510, hop_length=128, length=65536)
+    np.testing.assert_allclose(np.asarray(y), x, atol=1e-4)
+
+
+def test_fft_convolve_parity(rng):
+    """fast_apply_RIR parity (reverb_utils.py:25-60)."""
+    import sys
+    y = rng.standard_normal((2, 4096)).astype(np.float32)
+    h = rng.standard_normal(1500).astype(np.float32) * np.exp(-np.arange(1500) / 300)
+    h = h.astype(np.float32)
+    # torch reference computation, reproduced numerically (full FFT conv at
+    # next-pow2(N+M-1), crop to N, real part):
+    n, m = y.shape[-1], h.shape[-1]
+    fft_size = int(2 ** np.ceil(np.log2(n + m - 1)))
+    ref = np.fft.ifft(np.fft.fft(y, fft_size) * np.fft.fft(h, fft_size))[..., :n].real
+    ours = np.asarray(fft_convolve(jnp.asarray(y), jnp.asarray(h)))
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
+    # and against a direct convolution ground truth
+    direct = np.stack([np.convolve(yi, h)[:n] for yi in y])
+    np.testing.assert_allclose(ours, direct, atol=2e-3)
+
+
+def test_hilbert_parity(rng):
+    h = rng.standard_normal(2048).astype(np.float32)
+    th = torch.from_numpy(h)
+    window = 2 * torch.heaviside(torch.linspace(-1, 1, steps=2048), values=torch.ones(1))
+    window = torch.flip(window, dims=(-1,))
+    ref = torch.fft.ifft(window * torch.fft.fft(th)).numpy()
+    ours = np.asarray(hilbert(jnp.asarray(h)))
+    np.testing.assert_allclose(ours.real, ref.real, atol=1e-3)
+    np.testing.assert_allclose(ours.imag, ref.imag, atol=1e-3)
+
+
+def test_minimum_phase_parity(rng):
+    """minimum_phase_version parity (reverb_utils.py:9-23)."""
+    h = (rng.standard_normal(1600) * np.exp(-np.arange(1600) / 200)).astype(np.float32)
+    h[0] = 1.0
+
+    th = torch.from_numpy(h)
+    t_orig = th.size(-1)
+    hp = torch.nn.functional.pad(th, (0, t_orig))
+    H = torch.fft.fft(hp)
+    log_abs = torch.log(torch.abs(H) + 1e-8)
+    window = 2 * torch.heaviside(torch.linspace(-1, 1, steps=hp.size(-1)), values=torch.ones(1))
+    window = torch.flip(window, dims=(-1,))
+    min_phase = -torch.imag(torch.fft.ifft(window * torch.fft.fft(log_abs)))
+    ref = torch.real(torch.fft.ifft(torch.abs(H).type(torch.complex64) * torch.exp(1j * min_phase)))
+    ref = ref[:-t_orig].numpy()
+
+    ours = np.asarray(minimum_phase_version(jnp.asarray(h)))
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
