@@ -1,0 +1,345 @@
+"""NCSN++ layer library in Flax (NHWC, TPU-native layouts).
+
+Functional rebuild of the reference layer zoo (networks/ncsnpp_utils/
+layerspp.py + layers.py): BigGAN/DDPM residual blocks, the (H·W)^2
+self-attention block, nearest/avg-pool resampling, Gaussian Fourier noise
+embeddings, Combine, and NIN — with DDPM variance-scaling initialization so a
+converted PyTorch checkpoint reproduces the same function.
+
+Layout note: everything here is NHWC (B, F, T, C) — channels on the TPU lane
+dimension — where the reference is NCHW.  The checkpoint converter
+(buddy_tpu/models/convert.py) transposes weights accordingly.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def default_init(scale: float = 1.0):
+    """DDPM initializer: variance_scaling(scale, fan_avg, uniform)
+    (layers.py:54-91; scale 0 is clamped to 1e-10)."""
+    scale = 1e-10 if scale == 0 else scale
+    return nn.initializers.variance_scaling(scale, "fan_avg", "uniform")
+
+
+def get_act(name: str) -> Callable:
+    if name == "elu":
+        return jax.nn.elu
+    if name == "relu":
+        return jax.nn.relu
+    if name == "lrelu":
+        return lambda x: jax.nn.leaky_relu(x, negative_slope=0.2)
+    if name == "swish":
+        return jax.nn.silu
+    raise NotImplementedError("activation function does not exist!")
+
+
+class GroupNormAct(nn.Module):
+    """GroupNorm with an optional fused activation.
+
+    Parameter names match nn.GroupNorm ("scale"/"bias") so checkpoints are
+    interchangeable; when ``use_pallas`` the normalization + activation run
+    as one Pallas kernel (the TPU equivalent of the reference's hot
+    GroupNorm->SiLU chains in every ResBlock, layerspp.py:243-264).
+    """
+    num_groups: int
+    epsilon: float = 1e-6
+    act: Optional[Callable] = None
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        if self.use_pallas and x.ndim == 4:
+            from buddy_tpu.ops.pallas.groupnorm import fused_group_norm_act
+            return fused_group_norm_act(
+                x, scale, bias, num_groups=self.num_groups,
+                epsilon=self.epsilon, act=("silu" if self.act is jax.nn.silu else None))
+        # group over contiguous channel blocks (torch GroupNorm semantics)
+        g = self.num_groups
+        shape = x.shape
+        xg = x.reshape(shape[:-1] + (g, c // g))
+        axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+        mean = xg.mean(axis=axes, keepdims=True)
+        var = xg.var(axis=axes, keepdims=True)
+        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
+        out = xg.reshape(shape) * scale + bias
+        if self.act is not None:
+            out = self.act(out)
+        return out
+
+
+def group_norm(ch: int, name: str) -> GroupNormAct:
+    """GroupNorm(min(ch//4, 32), eps=1e-6) — the reference's uniform choice."""
+    return GroupNormAct(num_groups=min(ch // 4, 32), epsilon=1e-6, name=name)
+
+
+def conv3x3(out_ch: int, *, init_scale: float = 1.0, stride: int = 1,
+            bias: bool = True, name: str) -> nn.Conv:
+    return nn.Conv(out_ch, (3, 3), strides=(stride, stride),
+                   padding=((1, 1), (1, 1)), use_bias=bias,
+                   kernel_init=default_init(init_scale),
+                   bias_init=nn.initializers.zeros, name=name)
+
+
+def conv1x1(out_ch: int, *, init_scale: float = 1.0, bias: bool = True,
+            name: str) -> nn.Conv:
+    return nn.Conv(out_ch, (1, 1), use_bias=bias,
+                   kernel_init=default_init(init_scale),
+                   bias_init=nn.initializers.zeros, name=name)
+
+
+def naive_upsample_2d(x: jax.Array, factor: int = 2) -> jax.Array:
+    """Nearest-neighbor x2 (up_or_down_sampling.py:59-64), NHWC."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h, 1, w, 1, c)
+    x = jnp.broadcast_to(x, (b, h, factor, w, factor, c))
+    return x.reshape(b, h * factor, w * factor, c)
+
+
+def naive_downsample_2d(x: jax.Array, factor: int = 2) -> jax.Array:
+    """Average-pool x2 (up_or_down_sampling.py:66-70), NHWC."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // factor, factor, w // factor, factor, c)
+    return x.mean(axis=(2, 4))
+
+
+class GaussianFourierProjection(nn.Module):
+    """Gaussian Fourier features for noise levels (layerspp.py:32-41).
+
+    W is drawn N(0, scale^2) and frozen (requires_grad=False in the
+    reference); stop_gradient keeps it fixed under any optimizer.
+    """
+    embedding_size: int = 256
+    scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        W = self.param("W", nn.initializers.normal(stddev=self.scale),
+                       (self.embedding_size,))
+        W = jax.lax.stop_gradient(W)
+        x_proj = x[:, None] * W[None, :] * 2 * jnp.pi
+        return jnp.concatenate([jnp.sin(x_proj), jnp.cos(x_proj)], axis=-1)
+
+
+class NIN(nn.Module):
+    """Per-position dense C_in -> C_out (layers.py:548-557), NHWC-native."""
+    num_units: int
+    init_scale: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_dim = x.shape[-1]
+        W = self.param("W", default_init(self.init_scale), (in_dim, self.num_units))
+        b = self.param("b", nn.initializers.zeros, (self.num_units,))
+        return jnp.einsum("...c,cd->...d", x, W) + b
+
+
+class Combine(nn.Module):
+    """Combine a skip-pyramid input with the trunk (layerspp.py:44-59)."""
+    dim2: int
+    method: str = "cat"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        h = conv1x1(self.dim2, name="Conv_0")(x)
+        if self.method == "cat":
+            return jnp.concatenate([h, y], axis=-1)
+        if self.method == "sum":
+            return h + y
+        raise ValueError(f"Method {self.method} not recognized.")
+
+
+class AttnBlockpp(nn.Module):
+    """Full (H*W)^2 self-attention block (layerspp.py:62-91).
+
+    Fires only at the U-Net bottleneck in the default config; the
+    use_pallas flag swaps the einsum-softmax-einsum for the fused Pallas
+    flash-attention kernel on TPU.
+    """
+    skip_rescale: bool = False
+    init_scale: float = 0.0
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, H, W, C = x.shape
+        h = group_norm(C, "GroupNorm_0")(x)
+        q = NIN(C, name="NIN_0")(h)
+        k = NIN(C, name="NIN_1")(h)
+        v = NIN(C, name="NIN_2")(h)
+
+        if self.use_pallas:
+            from buddy_tpu.ops.pallas.attention import spatial_attention
+            h = spatial_attention(q, k, v, scale=C ** -0.5)
+        else:
+            w = jnp.einsum("bhwc,bijc->bhwij", q, k) * (C ** -0.5)
+            w = jax.nn.softmax(w.reshape(B, H, W, H * W), axis=-1)
+            w = w.reshape(B, H, W, H, W)
+            h = jnp.einsum("bhwij,bijc->bhwc", w, v)
+        h = NIN(C, init_scale=self.init_scale, name="NIN_3")(h)
+        if not self.skip_rescale:
+            return x + h
+        return (x + h) / math.sqrt(2.0)
+
+
+class Upsample(nn.Module):
+    """x2 nearest upsample, optional conv (layerspp.py:94-126, fir=False)."""
+    out_ch: Optional[int] = None
+    with_conv: bool = False
+    fir: bool = False
+    fir_kernel: Sequence[int] = (1, 3, 3, 1)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        out_ch = self.out_ch or x.shape[-1]
+        if not self.fir:
+            h = naive_upsample_2d(x)  # == F.interpolate(mode='nearest')
+            if self.with_conv:
+                h = conv3x3(out_ch, name="Conv_0")(h)
+        else:
+            from buddy_tpu.ops.resample import upsample_2d
+            if not self.with_conv:
+                h = upsample_2d(x, self.fir_kernel, factor=2)
+            else:
+                from buddy_tpu.ops.resample import upsample_conv_2d
+                kernel = self.param("Conv2d_0_weight", default_init(),
+                                    (3, 3, x.shape[-1], out_ch))
+                bias = self.param("Conv2d_0_bias", nn.initializers.zeros, (out_ch,))
+                h = upsample_conv_2d(x, kernel, self.fir_kernel, factor=2) + bias
+        return h
+
+
+class Downsample(nn.Module):
+    """x2 avg-pool downsample, optional strided conv (layerspp.py:129-163)."""
+    out_ch: Optional[int] = None
+    with_conv: bool = False
+    fir: bool = False
+    fir_kernel: Sequence[int] = (1, 3, 3, 1)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        out_ch = self.out_ch or x.shape[-1]
+        if not self.fir:
+            if self.with_conv:
+                # F.pad(x, (0,1,0,1)) then stride-2 valid conv
+                x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+                x = nn.Conv(out_ch, (3, 3), strides=(2, 2), padding="VALID",
+                            kernel_init=default_init(),
+                            bias_init=nn.initializers.zeros, name="Conv_0")(x)
+            else:
+                x = naive_downsample_2d(x)  # == F.avg_pool2d(x, 2, 2)
+        else:
+            from buddy_tpu.ops.resample import downsample_2d
+            if not self.with_conv:
+                x = downsample_2d(x, self.fir_kernel, factor=2)
+            else:
+                from buddy_tpu.ops.resample import conv_downsample_2d
+                kernel = self.param("Conv2d_0_weight", default_init(),
+                                    (3, 3, x.shape[-1], out_ch))
+                bias = self.param("Conv2d_0_bias", nn.initializers.zeros, (out_ch,))
+                x = conv_downsample_2d(x, kernel, self.fir_kernel, factor=2) + bias
+        return x
+
+
+class ResnetBlockDDPMpp(nn.Module):
+    """DDPM residual block (layerspp.py:166-209)."""
+    act: Callable
+    out_ch: Optional[int] = None
+    conv_shortcut: bool = False
+    dropout: float = 0.1
+    skip_rescale: bool = False
+    init_scale: float = 0.0
+    temb: bool = True
+
+    @nn.compact
+    def __call__(self, x, temb=None, *, deterministic: bool = True):
+        in_ch = x.shape[-1]
+        out_ch = self.out_ch or in_ch
+        h = self.act(group_norm(in_ch, "GroupNorm_0")(x))
+        h = conv3x3(out_ch, name="Conv_0")(h)
+        if temb is not None:
+            h = h + nn.Dense(out_ch, kernel_init=default_init(),
+                             bias_init=nn.initializers.zeros,
+                             name="Dense_0")(self.act(temb))[:, None, None, :]
+        h = self.act(group_norm(out_ch, "GroupNorm_1")(h))
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+        if in_ch != out_ch:
+            if self.conv_shortcut:
+                x = conv3x3(out_ch, name="Conv_2")(x)
+            else:
+                x = NIN(out_ch, name="NIN_0")(x)
+        if not self.skip_rescale:
+            return x + h
+        return (x + h) / math.sqrt(2.0)
+
+
+class ResnetBlockBigGANpp(nn.Module):
+    """BigGAN residual block with optional internal up/down resampling
+    (layerspp.py:212-274) — the workhorse of NCSN++."""
+    act: Callable
+    out_ch: Optional[int] = None
+    up: bool = False
+    down: bool = False
+    dropout: float = 0.1
+    fir: bool = False
+    fir_kernel: Sequence[int] = (1, 3, 3, 1)
+    skip_rescale: bool = True
+    init_scale: float = 0.0
+    temb: bool = True
+    use_pallas: bool = False  # Pallas fused GroupNorm+SiLU on TPU
+
+    @nn.compact
+    def __call__(self, x, temb=None, *, deterministic: bool = True):
+        in_ch = x.shape[-1]
+        out_ch = self.out_ch or in_ch
+
+        def gn_act(ch, name):
+            return GroupNormAct(num_groups=min(ch // 4, 32), epsilon=1e-6,
+                                act=self.act, use_pallas=self.use_pallas, name=name)
+
+        h = gn_act(in_ch, "GroupNorm_0")(x)
+
+        if self.up:
+            if self.fir:
+                from buddy_tpu.ops.resample import upsample_2d
+                h = upsample_2d(h, self.fir_kernel, factor=2)
+                x = upsample_2d(x, self.fir_kernel, factor=2)
+            else:
+                h = naive_upsample_2d(h)
+                x = naive_upsample_2d(x)
+        elif self.down:
+            if self.fir:
+                from buddy_tpu.ops.resample import downsample_2d
+                h = downsample_2d(h, self.fir_kernel, factor=2)
+                x = downsample_2d(x, self.fir_kernel, factor=2)
+            else:
+                h = naive_downsample_2d(h)
+                x = naive_downsample_2d(x)
+
+        h = conv3x3(out_ch, name="Conv_0")(h)
+        if temb is not None:
+            h = h + nn.Dense(out_ch, kernel_init=default_init(),
+                             bias_init=nn.initializers.zeros,
+                             name="Dense_0")(self.act(temb))[:, None, None, :]
+        h = gn_act(out_ch, "GroupNorm_1")(h)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+
+        if in_ch != out_ch or self.up or self.down:
+            x = conv1x1(out_ch, name="Conv_2")(x)
+
+        if not self.skip_rescale:
+            return x + h
+        return (x + h) / math.sqrt(2.0)

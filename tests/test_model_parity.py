@@ -1,0 +1,118 @@
+"""Golden parity: Flax NCSN++ vs the PyTorch reference model.
+
+Instantiates the reference implementation (read-only at /root/reference),
+randomly initializes it, converts the torch state dict to Flax params with
+buddy_tpu.models.convert, and checks both models produce the same outputs on
+the same inputs — the strongest guarantee that the published checkpoint will
+reproduce the same denoiser (BASELINE north-star: outputs match the PyTorch
+reference within tolerance).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+
+
+def _load_ref_ncsnpp():
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from networks.ncsnpp import NCSNpp as TorchNCSNpp, NCSNppTime as TorchNCSNppTime
+    return TorchNCSNpp, TorchNCSNppTime
+
+
+SMALL = dict(nf=16, ch_mult=[1, 2, 2], num_res_blocks=1, attn_resolutions=[0],
+             image_size=64, input_channels=2, spatial_channels=1,
+             fourier_scale=16, dropout=0.0)
+
+
+@pytest.fixture(scope="module")
+def small_pair():
+    TorchNCSNpp, _ = _load_ref_ncsnpp()
+    torch.manual_seed(0)
+    tmodel = TorchNCSNpp(**SMALL).eval()
+
+    from buddy_tpu.models.ncsnpp import NCSNpp
+    from buddy_tpu.models.convert import convert_torch_state_dict
+    jmodel = NCSNpp(**{**SMALL, "ch_mult": tuple(SMALL["ch_mult"]),
+                       "attn_resolutions": tuple(SMALL["attn_resolutions"])})
+    params = convert_torch_state_dict(tmodel.state_dict(), wrap_time=False)
+    return tmodel, jmodel, params
+
+
+def test_param_count_matches(small_pair):
+    tmodel, jmodel, params = small_pair
+    n_torch = sum(p.numel() for p in tmodel.state_dict().values())
+    n_jax = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    assert n_torch == n_jax
+
+
+def test_forward_parity_spec(small_pair, rng):
+    tmodel, jmodel, params = small_pair
+    x = (rng.standard_normal((2, 1, 64, 48)) + 1j * rng.standard_normal((2, 1, 64, 48))).astype(np.complex64)
+    cnoise = np.asarray([-0.5, 0.3], dtype=np.float32)
+
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x), torch.from_numpy(cnoise)).numpy()
+    ours = np.asarray(jmodel.apply(params, jnp.asarray(x), jnp.asarray(cnoise)))
+
+    assert ours.shape == ref.shape
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(ours, ref, atol=2e-4 * max(scale, 1.0), rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_forward_parity_default_config(rng):
+    """Parity at the reference's production config (nf=128, ch_mult [1,2,2,2],
+    bottleneck attention; conf/network/ncsnpp.yaml:8-14) on a short input."""
+    TorchNCSNpp, _ = _load_ref_ncsnpp()
+    cfg = dict(nf=128, ch_mult=[1, 2, 2, 2], num_res_blocks=1,
+               attn_resolutions=[0], image_size=256, input_channels=2,
+               spatial_channels=1, fourier_scale=16, dropout=0.0)
+    torch.manual_seed(2)
+    tmodel = TorchNCSNpp(**cfg).eval()
+
+    from buddy_tpu.models.ncsnpp import NCSNpp
+    from buddy_tpu.models.convert import convert_torch_state_dict
+    jmodel = NCSNpp(**{**cfg, "ch_mult": (1, 2, 2, 2), "attn_resolutions": (0,)})
+    params = convert_torch_state_dict(tmodel.state_dict(), wrap_time=False)
+
+    x = (rng.standard_normal((1, 1, 256, 32))
+         + 1j * rng.standard_normal((1, 1, 256, 32))).astype(np.complex64)
+    cnoise = np.asarray([-0.75], dtype=np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x), torch.from_numpy(cnoise)).numpy()
+    ours = np.asarray(jmodel.apply(params, jnp.asarray(x), jnp.asarray(cnoise)))
+    scale = max(np.abs(ref).max(), 1e-3)
+    np.testing.assert_allclose(ours, ref, atol=5e-4 * scale, rtol=2e-3)
+
+
+def test_forward_parity_time_wrapper(rng):
+    """Full NCSNppTime (STFT -> U-Net -> ISTFT) parity on waveforms."""
+    _, TorchNCSNppTime = _load_ref_ncsnpp()
+    from buddy_tpu.config import ConfigDict
+    stft_kwargs = {"n_fft": 126, "hop_length": 32, "center": True}
+    torch.manual_seed(1)
+    # the reference accesses stft config both as attributes (get_window) and
+    # as a mapping (**unpack) — ConfigDict supports both, like OmegaConf
+    tmodel = TorchNCSNppTime(ConfigDict(stft_kwargs), **SMALL).eval()
+
+    from buddy_tpu.models.ncsnpp import NCSNppTime
+    from buddy_tpu.models.convert import convert_torch_state_dict
+    jmodel = NCSNppTime(stft=stft_kwargs, **SMALL)
+    params = convert_torch_state_dict(tmodel.state_dict(), wrap_time=True)
+
+    x = rng.standard_normal((1, 1, 8192)).astype(np.float32) * 0.05
+    cnoise = np.asarray([-1.2], dtype=np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x), torch.from_numpy(cnoise)).numpy()
+    ours = np.asarray(jmodel.apply(params, jnp.asarray(x), jnp.asarray(cnoise)))
+    assert ours.shape == ref.shape
+    scale = max(np.abs(ref).max(), 1e-3)
+    np.testing.assert_allclose(ours, ref, atol=3e-3 * scale)
