@@ -31,6 +31,15 @@ class ConfigDict(dict):
     used by the reference (``cfg.a.b``, ``cfg.get(k, d)``, ``k in cfg.keys()``).
     """
 
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        for k, v in list(self.items()):
+            if not isinstance(v, ConfigDict):
+                super().__setitem__(k, _wrap(v))
+
+    def __setitem__(self, key: str, value: Any) -> None:
+        super().__setitem__(key, _wrap(value))
+
     def __getattr__(self, name: str) -> Any:
         try:
             return self[name]

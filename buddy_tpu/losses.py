@@ -1,0 +1,94 @@
+"""Reconstruction-loss factory for posterior sampling.
+
+Parity target: utils/losses.py in the reference — STFT-domain L2 variants
+(raw, magnitude, log-magnitude, power-law-compressed, log-compressed) with
+optional frequency weighting and hybrid multi-loss composition, plus plain
+time-domain l2_sum/l2_mean.  Losses close over the operator's ``apply_stft``
+(the 1024/512/128 padded-hann STFT) exactly as the reference does.
+
+All losses are real scalars of real/complex arrays, so ``jax.grad`` through
+them follows the same Wirtinger convention torch autograd uses for these
+real-valued objectives.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+
+def get_frequency_weighting(freqs, freq_weighting: Optional[str] = None):
+    if freq_weighting is None or freq_weighting == "none":
+        return jnp.ones_like(freqs)
+    if freq_weighting == "sqrt":
+        return jnp.sqrt(freqs)
+    if freq_weighting == "exp":
+        f = jnp.exp(freqs)
+        return f - f[:, 0, :][:, None, :]
+    if freq_weighting == "log":
+        return jnp.log(1 + freqs)
+    if freq_weighting == "linear":
+        return freqs
+    raise NotImplementedError(freq_weighting)
+
+
+def _compress(X, factor: float):
+    return (jnp.abs(X) + 1e-8) ** factor * jnp.exp(1j * jnp.angle(X))
+
+
+def get_loss(loss_args, operator=None) -> Optional[Callable]:
+    """Build a loss closure from a config node (losses.py:17-95)."""
+    if loss_args is None or loss_args["name"] == "none":
+        return None
+
+    if "loss_1" in loss_args:  # hybrid of multiple losses
+        subs = [get_loss(loss_args[k], operator=operator) for k in loss_args.keys()]
+        subs = [s for s in subs if s is not None]
+        return lambda x, x_hat: sum(s(x, x_hat) for s in subs)
+
+    name = loss_args["name"]
+    weight = float(loss_args.get("weight", 1.0))
+
+    if "stft" in name:
+        freq_weighting = loss_args.get("freq_weighting", None)
+        compression_factor = loss_args.get("compression_factor", None)
+
+        def loss_fn(x, x_hat):
+            X = operator.apply_stft(x)
+            X_hat = operator.apply_stft(x_hat)
+            freqs = jnp.linspace(0, 1, X.shape[-2])[None, :, None] + 1
+            freqs = jnp.broadcast_to(freqs, X.shape)
+            w = get_frequency_weighting(freqs, freq_weighting)
+            X = X * w
+            X_hat = X_hat * w
+
+            if name == "l2_stft_sum":
+                return weight * jnp.sum(jnp.abs(X - X_hat) ** 2)
+            if name == "l2_stft_mag_sum":
+                return weight * jnp.sum((jnp.abs(X) - jnp.abs(X_hat)) ** 2)
+            if name == "l2_stft_logmag_sum":
+                return weight * jnp.sum(
+                    (jnp.log10(jnp.abs(X) + 1e-8) - jnp.log10(jnp.abs(X_hat) + 1e-8)) ** 2)
+            if name in ("l2_comp_stft_sum", "l2_comp_stft_mean", "l2_comp_stft_summean"):
+                assert compression_factor is not None and 0 < compression_factor <= 1
+                Xc, Xhc = _compress(X, compression_factor), _compress(X_hat, compression_factor)
+                err = jnp.abs(Xc - Xhc) ** 2
+                if name == "l2_comp_stft_sum":
+                    return weight * jnp.sum(err)
+                if name == "l2_comp_stft_mean":
+                    return weight * jnp.mean(err)
+                return weight * jnp.mean(jnp.sum(err, axis=-2))  # summean
+            if name == "l2_log_stft_sum":
+                Xc = jnp.log(1 + jnp.abs(X)) * jnp.exp(1j * jnp.angle(X))
+                Xhc = jnp.log(1 + jnp.abs(X_hat)) * jnp.exp(1j * jnp.angle(X_hat))
+                return weight * jnp.sum(jnp.abs(Xc - Xhc) ** 2)
+            raise NotImplementedError(f"rec_loss {name} not implemented")
+
+        return loss_fn
+
+    if name == "l2_sum":
+        return lambda x, x_hat: weight * jnp.sum((x - x_hat) ** 2)
+    if name == "l2_mean":
+        return lambda x, x_hat: weight * jnp.mean((x - x_hat) ** 2)
+    raise NotImplementedError(f"rec_loss {name} not implemented")

@@ -1,0 +1,357 @@
+"""STFT-domain subband reverberation operators.
+
+Parity target: testing/operators/subband_filtering.py in the reference.
+
+``SubbandFiltering`` (informed): per-frequency-bin FIR filtering along STFT
+frames with a known filter H (F, Nf) — the reference's grouped conv1d over
+513 groups (subband_filtering.py:67-74) becomes an FFT convolution along the
+frame axis, fully vectorized over frequency bins (MXU/VPU-friendly, no
+grouped scalar loops).
+
+``BlindSubbandFiltering`` (the heart of BUDDy): the filter is parameterized
+by per-EQ-band multi-exponential magnitude decays plus per-(bin, frame)
+phases (subband_filtering.py:143-351).  Everything is a pure function of an
+explicit parameter pytree ``{"decay", "weights", "phases"}`` so the
+10-updates-per-step inner Adam loop of blind DPS jits into the sampler's
+``lax.scan`` carry (SURVEY.md §7 hard part #1):
+
+    design_filter(params)  — decay matrix -> log -> piecewise-linear interp
+                              across EQ breakpoints -> exp, OLA correction,
+                              direct-path magnitude correction
+    compute_H(params)      — A * exp(i*phases) followed by cons()
+    cons(H)                — ISTFT -> minimum-phase -> fix direct path -> STFT
+    project(params)        — clamp decays/weights to valid ranges
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from buddy_tpu.operators.reverb import OperatorSTFT
+from buddy_tpu.operators.shared import Operator
+from buddy_tpu.ops.minphase import minimum_phase_version
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (int(n) - 1).bit_length()
+
+
+class SubbandFiltering(Operator):
+    """Informed subband filter operator (subband_filtering.py:8-137)."""
+
+    def __init__(self, op_hp, sample_rate: int = 16000):
+        self.op_hp = op_hp
+        self.sample_rate = sample_rate
+        self.op_stft = OperatorSTFT(op_hp, sample_rate)
+        self.n_fft = self.op_stft.n_fft
+        self.win_length = self.op_stft.win_length
+        self.hop_length = self.op_stft.hop_length
+        self.window = self.op_stft.window
+        self.window_padded = self.op_stft.window_padded
+        self.freqs = self.op_stft.freqs
+        self.Nf = int(op_hp["Nf"])
+        self.length_rir = self.hop_length * self.Nf
+        self.H = None
+
+    # --- STFT plumbing ---------------------------------------------------
+    def stft(self, x):
+        return self.op_stft.stft(x)
+
+    def istft(self, X, length=None):
+        return self.op_stft.istft(X, length)
+
+    def apply_stft(self, x):
+        return self.op_stft.apply_stft(x)
+
+    def apply_istft(self, X, length=None):
+        return self.op_stft.apply_istft(X, length)
+
+    # --- the forward model ----------------------------------------------
+    def subband_filtering(self, X: jax.Array, H: jax.Array) -> jax.Array:
+        """Per-bin FIR along frames (subband_filtering.py:67-74).
+
+        The reference's flip+pad+grouped-conv1d is equivalent to the full
+        linear convolution along frames evaluated at an offset of
+        ``pre_impulse_frames = win_length/hop/2 - 1`` (RIR centering under
+        the hann window):  Y[f, t] = sum_j H[f, j] * X[f, t + off - j].
+        FFT convolution along the frame axis implements it exactly.
+        """
+        pre = self.win_length // self.hop_length // 2 - 1  # 1 for 512/128
+        T = X.shape[-1]
+        Nf = H.shape[-1]
+        fft_size = _next_pow2(T + Nf - 1)
+        Xf = jnp.fft.fft(X, n=fft_size, axis=-1)
+        Hf = jnp.fft.fft(H, n=fft_size, axis=-1)
+        full = jnp.fft.ifft(Xf * Hf, axis=-1)  # full conv, length T+Nf-1
+        return jax.lax.dynamic_slice_in_dim(full, pre, T, axis=-1)
+
+    def degradation(self, x: jax.Array, mode: str = "waveform",
+                    H: jax.Array | None = None, detach_operator: bool = False) -> jax.Array:
+        init_shape = x.shape
+        X = self.apply_stft(x)
+        if H is None:
+            assert self.H is not None, "filter is not initialized"
+            H = self.H
+        if detach_operator:
+            H = jax.lax.stop_gradient(H)
+        Y = self.subband_filtering(X, H)
+        if mode == "waveform":
+            y = self.apply_istft(Y, length=init_shape[-1])
+            if len(init_shape) == 1:
+                y = y[0]
+            return y
+        if mode == "STFT":
+            return Y
+        raise ValueError(mode)
+
+    def get_time_RIR(self, H: jax.Array | None = None) -> jax.Array:
+        """Excite the operator with an impulse (subband_filtering.py:103-113)."""
+        x = jnp.zeros((self.length_rir + 1024,), jnp.float32).at[0].set(1.0)
+        return self.degradation(x, H=H)
+
+    def rir_to_H(self, rir: jax.Array) -> jax.Array:
+        """Known time-domain RIR -> subband filter (update_H, :115-125):
+        hann scaling 8/(win/hop), drop frame 0, pad/truncate to Nf."""
+        H = self.stft(rir)
+        H = H * (8.0 / (self.win_length / self.hop_length))
+        H = H[:, 1:]
+        if self.Nf > H.shape[-1]:
+            H = jnp.pad(H, ((0, 0), (0, self.Nf - H.shape[-1])))
+        else:
+            H = H[..., : self.Nf]
+        return H
+
+    def update_H(self, rir=None, H=None) -> None:
+        if rir is not None:
+            self.H = self.rir_to_H(jnp.asarray(rir))
+        elif H is not None:
+            self.H = jnp.asarray(H)
+        else:
+            raise ValueError("Either rir or H must be specified (informed scenario)")
+        assert self.H.shape == (self.n_fft // 2 + 1, self.Nf)
+
+    def update_params(self, *args, **kwargs):
+        return self.update_H(*args, **kwargs)
+
+
+class BlindSubbandFiltering(SubbandFiltering):
+    """Blind subband operator with exponential-decay RIR prior
+    (subband_filtering.py:143-351)."""
+
+    def __init__(self, op_hp, sample_rate: int = 16000, rng: jax.Array | None = None):
+        super().__init__(op_hp, sample_rate)
+        hp = op_hp
+        self.Amin = float(hp["Amin"])
+        self.Amax = float(hp["Amax"])
+        self.EQ_freqs = jnp.asarray(hp["EQ_freqs"], jnp.float32)
+        self.fix_EQ_extremes = bool(hp["fix_EQ_extremes"])
+        self.num_bands = len(hp["EQ_freqs"]) - (2 if self.fix_EQ_extremes else 0)
+        self.minimum_phase = bool(hp.get("minimum_phase", True))
+        self.fix_direct_path = bool(hp.get("fix_direct_path", True))
+        self.clamp_decay = bool(hp.get("clamp_decay", True))
+        self.strictly_decreasing_decay = bool(hp.get("strictly_decreasing_decay", False))
+        self.enforce_long_decay_in_second_exponential = bool(
+            hp.get("enforce_long_decay_in_second_exponential", True))
+
+        # decay-rate bounds from T60 range (subband_filtering.py:186-187)
+        fr = self.sample_rate / self.hop_length
+        self.max_decay = 6.908 / (float(hp["T60min"]) * fr)
+        self.min_decay = 6.908 / (float(hp["T60max"]) * fr)
+
+        self.direct_path_mag_correction = self._compute_direct_path_mag_correction()
+        self._ola_factors = self._compute_ola_factors()
+
+        self.params = self.init_params(rng if rng is not None else jax.random.PRNGKey(0))
+        self.H = None
+
+    # ------------------------------------------------------------------
+    # parameter pytree
+    # ------------------------------------------------------------------
+    def init_params(self, rng: jax.Array) -> Dict[str, jax.Array]:
+        hp = self.op_hp
+        if hp["init_single_value"]:
+            T60 = np.asarray([[t] * self.num_bands for t in hp["init_params"]["T60_breakpoints"]])
+            wts = np.asarray([[w] * self.num_bands for w in hp["init_params"]["multiexp_weighting"]])
+        else:
+            T60 = np.asarray(hp["init_params"]["T60_breakpoints"])
+            wts = np.asarray(hp["init_params"]["multiexp_weighting"])
+        decay = 6.908 / (T60 * (self.sample_rate / self.hop_length))
+        assert wts.shape == decay.shape
+        phases = jax.random.uniform(
+            rng, (self.n_fft // 2 + 1, self.Nf), jnp.float32,
+            minval=-np.pi, maxval=np.pi)
+        return {
+            "decay": jnp.asarray(decay, jnp.float32),
+            "weights": jnp.asarray(wts, jnp.float32),
+            "phases": phases,
+        }
+
+    # ------------------------------------------------------------------
+    # filter design (pure functions of the param pytree)
+    # ------------------------------------------------------------------
+    def _compute_direct_path_mag_correction(self) -> jax.Array:
+        """|STFT| of a scaled unit impulse (subband_filtering.py:206-210)."""
+        h = jnp.zeros((self.hop_length * int(self.op_hp["Nf"]),), jnp.float32)
+        h = h.at[0].set(self.win_length / (self.hop_length * 2))
+        H = self.stft(h)
+        return jnp.abs(H[:, 1:])
+
+    def _compute_ola_factors(self) -> np.ndarray:
+        """First-K-frame OLA correction factors (subband_filtering.py:212-222)."""
+        K = int(self.win_length / self.hop_length - 1)
+        w = np.asarray(self.window)
+        win_sum = w.sum()
+        factors = np.ones(self.Nf, dtype=np.float32)
+        for k in range(K):
+            factors[k] = w[int((K - k) * self.hop_length):].sum() / win_sum
+        return factors
+
+    def design_subband_filter(self, params: Dict[str, jax.Array]) -> jax.Array:
+        """Multi-exponential decay matrix -> log -> linear interpolation
+        across EQ breakpoints -> exp (subband_filtering.py:224-239).
+
+        The reference uses torchcde linear interpolation; ``jnp.interp`` is
+        the same piecewise-linear map on the in-range rfft frequencies.
+        """
+        Nf = self.Nf
+        decay = jnp.exp(params["decay"])            # (E, bands)
+        weights = params["weights"]                  # (E, bands)
+        n = jnp.arange(Nf, dtype=jnp.float32)
+        # (E, bands, Nf): w_e * exp(params_decay)^(-n)  == w_e * exp(-n*decay)
+        env = weights[..., None] * decay[..., None] ** (-n[None, None, :])
+        env = env.sum(axis=0)                        # (bands, Nf)
+
+        if self.fix_EQ_extremes:
+            full = jnp.zeros((len(self.EQ_freqs), Nf), env.dtype)
+            full = full.at[1:-1].set(env)
+        else:
+            full = env
+        logm = jnp.log(full + 1e-6)                  # (n_EQ, Nf)
+        # interp along frequency for each frame
+        interp = jax.vmap(lambda col: jnp.interp(self.freqs, self.EQ_freqs, col),
+                          in_axes=1, out_axes=1)(logm)  # (F, Nf)
+        return jnp.exp(interp)
+
+    def design_filter(self, params: Dict[str, jax.Array], correct_OLA: bool = True) -> jax.Array:
+        A = self.design_subband_filter(params) + 1e-6
+        if correct_OLA:
+            A = A * jnp.asarray(self._ola_factors)[None, :]
+        if self.fix_direct_path:
+            A = A + self.direct_path_mag_correction
+        return A
+
+    def cons(self, X: jax.Array, length: int) -> jax.Array:
+        """Consistency projection (subband_filtering.py:333-351):
+        pad frames -> ISTFT -> minimum phase -> fix direct path -> STFT."""
+        L = X.shape[-1]
+        X = jnp.pad(X, ((0, 0), (1, 1)))
+        h = self.istft(X, length=length)
+        h = jnp.pad(h, (0, self.hop_length))
+        if self.minimum_phase:
+            h = minimum_phase_version(h)
+        if self.fix_direct_path:
+            h = h.at[0].set(self.win_length / (self.hop_length * 2))
+        X_rec = self.stft(h)[:, 1:-1]
+        return X_rec[..., :L]
+
+    def compute_H(self, params: Dict[str, jax.Array],
+                  phases: jax.Array | None = None) -> jax.Array:
+        """H = design_filter * exp(i*phases), followed by cons()."""
+        A = self.design_filter(params)
+        ph = params["phases"] if phases is None else phases
+        H = A * jnp.exp(1j * ph)
+        return self.cons(H, length=self.length_rir)
+
+    def get_noise_phases(self, rng: jax.Array) -> jax.Array:
+        """Phases of the STFT of white noise — "random but coherent"
+        initialization (subband_filtering.py:253-259)."""
+        noise = jax.random.normal(rng, (self.length_rir,))
+        N = self.stft(noise) / self.op_stft.win_energy_sqrt
+        return jnp.angle(N[:, 1:])
+
+    def noise_coherent_init(self, rng: jax.Array) -> None:
+        """update_H(use_noise=True) parity (subband_filtering.py:267-274):
+        design A, take noise phases, cons-project, store resulting phases."""
+        A = self.design_filter(self.params)
+        H = A * jnp.exp(1j * self.get_noise_phases(rng))
+        H = self.cons(H, length=self.length_rir)
+        self.params = dict(self.params, phases=jnp.angle(H))
+        self.H = H
+
+    def update_H(self, rir=None, H=None, use_noise: bool = False,
+                 rng: jax.Array | None = None, phases=None) -> None:
+        if rir is not None or H is not None:
+            super().update_H(rir=rir, H=H)
+            return
+        if use_noise:
+            self.noise_coherent_init(rng if rng is not None else jax.random.PRNGKey(1))
+            return
+        if phases is not None:
+            self.params = dict(self.params, phases=jnp.asarray(phases))
+        self.H = self.compute_H(self.params)
+
+    def update_params(self, params_dict) -> None:
+        """Reset decay/weights from T60 breakpoints (subband_filtering.py:287-296)."""
+        T60 = jnp.asarray(params_dict["T60_breakpoints"], jnp.float32)
+        wts = jnp.asarray(params_dict["multiexp_weighting"], jnp.float32)
+        decay = 6.908 / (T60 * (self.sample_rate / self.hop_length))
+        self.params = dict(self.params, decay=decay, weights=wts)
+
+    # ------------------------------------------------------------------
+    # parameter projection (vectorized clamps, subband_filtering.py:298-331)
+    # ------------------------------------------------------------------
+    def project(self, params: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        decay = params["decay"]
+        weights = params["weights"]
+
+        if self.clamp_decay:
+            if self.strictly_decreasing_decay:
+                # "strictly decreasing": each band's decay is clamped below by
+                # the previous band's (already clamped) value; rows i>0 are
+                # additionally capped by row0/1.01 (long-decay enforcement).
+                def clamp_row(row, hi_row):
+                    def scan_band(carry, dh):
+                        d, hi = dh
+                        d = jnp.clip(d, jnp.maximum(carry, self.min_decay), hi)
+                        return d, d
+                    _, out = jax.lax.scan(scan_band, jnp.float32(self.min_decay),
+                                          (row, hi_row))
+                    return out
+                first = clamp_row(decay[0], jnp.full_like(decay[0], self.max_decay))
+                rows = [first]
+                for i in range(1, decay.shape[0]):
+                    if self.enforce_long_decay_in_second_exponential:
+                        hi = jnp.minimum(first / 1.01, self.max_decay)
+                    else:
+                        hi = jnp.full_like(first, self.max_decay)
+                    rows.append(clamp_row(decay[i], hi))
+                decay = jnp.stack(rows, axis=0)
+            else:
+                first = jnp.clip(decay[0], self.min_decay, self.max_decay)
+                if decay.shape[0] > 1:
+                    rest = decay[1:]
+                    if self.enforce_long_decay_in_second_exponential:
+                        hi = jnp.minimum(first[None, :] / 1.01, self.max_decay)
+                    else:
+                        hi = self.max_decay
+                    rest = jnp.clip(rest, self.min_decay, hi)
+                    decay = jnp.concatenate([first[None, :], rest], axis=0)
+                else:
+                    decay = first[None, :]
+
+        lo = 10.0 ** (self.Amin / 20.0)
+        hi = 10.0 ** (self.Amax / 20.0)
+        w_first = jnp.clip(weights[0], lo, hi)
+        if weights.shape[0] > 1:
+            w_rest = jnp.clip(weights[1:], lo, w_first[None, :])
+            weights = jnp.concatenate([w_first[None, :], w_rest], axis=0)
+        else:
+            weights = w_first[None, :]
+
+        return dict(params, decay=decay, weights=weights)
+
+    project_params = project
