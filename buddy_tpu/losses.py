@@ -33,8 +33,24 @@ def get_frequency_weighting(freqs, freq_weighting: Optional[str] = None):
     raise NotImplementedError(freq_weighting)
 
 
+def _safe_mag_phase(X):
+    """|X| and X/|X| with zero-safe gradients.
+
+    torch's abs/angle backward returns 0 at X == 0 (the zero-padded STFT
+    frames every apply_stft produces); naive jnp.abs/jnp.angle gives NaN
+    there.  The double-where pattern pins both primal and gradient to the
+    torch behavior.
+    """
+    zero = (X.real == 0) & (X.imag == 0)
+    safe = jnp.where(zero, 1.0 + 0.0j, X)
+    mag = jnp.where(zero, 0.0, jnp.abs(safe))
+    phase = jnp.where(zero, 1.0 + 0.0j, safe / jnp.abs(safe))
+    return mag, phase
+
+
 def _compress(X, factor: float):
-    return (jnp.abs(X) + 1e-8) ** factor * jnp.exp(1j * jnp.angle(X))
+    mag, phase = _safe_mag_phase(X)
+    return (mag + 1e-8) ** factor * phase
 
 
 def get_loss(loss_args, operator=None) -> Optional[Callable]:
@@ -64,25 +80,32 @@ def get_loss(loss_args, operator=None) -> Optional[Callable]:
             X_hat = X_hat * w
 
             if name == "l2_stft_sum":
-                return weight * jnp.sum(jnp.abs(X - X_hat) ** 2)
+                d = X - X_hat
+                return weight * jnp.sum(d.real ** 2 + d.imag ** 2)
             if name == "l2_stft_mag_sum":
-                return weight * jnp.sum((jnp.abs(X) - jnp.abs(X_hat)) ** 2)
+                magX, _ = _safe_mag_phase(X)
+                magXh, _ = _safe_mag_phase(X_hat)
+                return weight * jnp.sum((magX - magXh) ** 2)
             if name == "l2_stft_logmag_sum":
+                magX, _ = _safe_mag_phase(X)
+                magXh, _ = _safe_mag_phase(X_hat)
                 return weight * jnp.sum(
-                    (jnp.log10(jnp.abs(X) + 1e-8) - jnp.log10(jnp.abs(X_hat) + 1e-8)) ** 2)
+                    (jnp.log10(magX + 1e-8) - jnp.log10(magXh + 1e-8)) ** 2)
             if name in ("l2_comp_stft_sum", "l2_comp_stft_mean", "l2_comp_stft_summean"):
                 assert compression_factor is not None and 0 < compression_factor <= 1
                 Xc, Xhc = _compress(X, compression_factor), _compress(X_hat, compression_factor)
-                err = jnp.abs(Xc - Xhc) ** 2
+                d = Xc - Xhc
+                err = d.real ** 2 + d.imag ** 2
                 if name == "l2_comp_stft_sum":
                     return weight * jnp.sum(err)
                 if name == "l2_comp_stft_mean":
                     return weight * jnp.mean(err)
                 return weight * jnp.mean(jnp.sum(err, axis=-2))  # summean
             if name == "l2_log_stft_sum":
-                Xc = jnp.log(1 + jnp.abs(X)) * jnp.exp(1j * jnp.angle(X))
-                Xhc = jnp.log(1 + jnp.abs(X_hat)) * jnp.exp(1j * jnp.angle(X_hat))
-                return weight * jnp.sum(jnp.abs(Xc - Xhc) ** 2)
+                magX, phX = _safe_mag_phase(X)
+                magXh, phXh = _safe_mag_phase(X_hat)
+                d = jnp.log(1 + magX) * phX - jnp.log(1 + magXh) * phXh
+                return weight * jnp.sum(d.real ** 2 + d.imag ** 2)
             raise NotImplementedError(f"rec_loss {name} not implemented")
 
         return loss_fn

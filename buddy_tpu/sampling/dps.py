@@ -1,0 +1,244 @@
+"""Diffusion posterior sampling (informed + blind dereverberation).
+
+Parity target: testing/EulerHeunSamplerDPS.py — the flagship BUDDy loop.
+
+The reference mutates operator parameters in-place inside a Python loop
+(10 Adam updates of the subband filter per diffusion step, then likelihood
+guidance through the U-Net).  Here the entire T-step loop, including the
+inner operator optimization, compiles into one ``jax.lax.scan`` whose carry
+is ``(x, rng, op_params, adam_state, H)`` — the TPU-native formulation of
+SURVEY.md §7 hard part #1.
+
+Key behavioral equivalences:
+* likelihood score: grad of rec_loss(y, A(D(x_hat))) wrt x_hat, computed as
+  vjp through the denoiser of the operator-side gradient — one U-Net forward
+  + one backward per step, same cost split as the reference (:61-69).
+* The H used for guidance is the one computed at the start of the *last*
+  inner iteration (from params after op_updates_per_step-1 updates), exactly
+  matching the reference's update-then-step ordering (:76-113).
+* ``x_den`` is rescaled to sigma_data before the score (but after guidance)
+  when constraint_speech_magnitude.use (:127-131), and ``predict`` returns
+  x_den rather than x (:159-178).
+* std() uses Bessel's correction like torch.Tensor.std.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from buddy_tpu.losses import get_loss
+from buddy_tpu.sampling.euler_heun import EulerHeunSampler
+
+
+def _std(x):
+    return jnp.std(x, ddof=1)
+
+
+class EulerHeunSamplerDPS(EulerHeunSampler):
+    """Euler-Heun sampler with DPS likelihood guidance (informed + blind)."""
+
+    def __init__(self, model, diff_params, args):
+        super().__init__(model, diff_params, args)
+        ps = args["tester"]["posterior_sampling"]
+        self.ps = ps
+        self.zeta = float(ps["zeta"])
+        self.audio_len = int(args["exp"]["audio_len"])
+
+    # ------------------------------------------------------------------
+    # warm initialization (EulerHeunSamplerDPS.py:25-59)
+    # ------------------------------------------------------------------
+    def initialize_x(self, y, shape, rng, t0):
+        wi = self.ps["warm_initialization"]
+        mode = wi["mode"]
+        noise = t0 * jax.random.normal(rng, shape)
+        if mode == "none":
+            return noise
+        if mode == "reverb_scaled":
+            return float(wi["scaling_factor"]) * y / _std(y) + noise
+        if mode == "wpe_scaled":
+            from buddy_tpu.sampling.wpe import wpe_dereverb
+            w = wi["wpe"]
+            x_pred = wpe_dereverb(y, taps=int(w["taps"]), delay=int(w["delay"]),
+                                  iterations=int(w["iterations"]))
+            x_pred = x_pred[..., : y.shape[-1]]
+            x_pred = float(wi["scaling_factor"]) * x_pred / _std(x_pred)
+            return x_pred + noise
+        raise NotImplementedError(mode)
+
+    # ------------------------------------------------------------------
+    # the jitted sampling program
+    # ------------------------------------------------------------------
+    def _build_losses(self, operator, blind):
+        ps = self.ps
+        self.rec_loss = get_loss(ps["rec_loss"], operator=operator)
+        self.rec_loss_params = None
+        self.reg_loss = None
+        if blind:
+            self.rec_loss_params = get_loss(ps["rec_loss_params"], operator=operator)
+            reg_cfg = ps.get("RIR_noise_regularization", None)
+            if reg_cfg is not None and reg_cfg.get("use", False):
+                self.reg_loss = get_loss(reg_cfg["loss"], operator=operator)
+                self.reg_sigma_min = float(reg_cfg["crop_sigma_min"])
+                self.reg_sigma_max = float(reg_cfg["crop_sigma_max"])
+
+    def _make_opt(self):
+        bh = self.ps["blind_hp"]
+        assert bh.get("optimizer", "adam") == "adam"
+        return optax.adam(learning_rate=float(bh["lr_op"]),
+                          b1=float(bh["beta1"]), b2=float(bh["beta2"]))
+
+    def _optimize_op(self, operator, opt, x_den, t_hat, op_params, opt_state, H, rng):
+        """Inner loop: op_updates_per_step Adam updates of the subband filter
+        (EulerHeunSamplerDPS.py:71-113).  Returns the params, the optimizer
+        state, the last-computed H, and the advanced rng."""
+        y = self.y
+        n_updates = int(self.ps["blind_hp"]["op_updates_per_step"])
+        t_op = jnp.clip(t_hat, self.reg_sigma_min, self.reg_sigma_max) \
+            if self.reg_loss is not None else None
+
+        def loss_fn(p, k_reg):
+            H = operator.compute_H(p)
+            y_hat = operator.degradation(x_den, H=H, mode="waveform")
+            loss = self.rec_loss_params(y, y_hat) if self.rec_loss_params else 0.0
+            if self.reg_loss is not None:
+                rir_time = operator.get_time_RIR(H=H)
+                rir_noisy = rir_time + t_op * jax.random.normal(k_reg, rir_time.shape)
+                loss = loss + self.reg_loss(rir_time, jax.lax.stop_gradient(rir_noisy))
+            return loss, H
+
+        def inner(carry, _):
+            p, s, _H, k = carry
+            k, k_reg = jax.random.split(k)
+            grads, H = jax.grad(loss_fn, has_aux=True)(p, k_reg)
+            updates, s = opt.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            p = operator.project(p)
+            return (p, s, H, k), None
+
+        (op_params, opt_state, H, rng), _ = jax.lax.scan(
+            inner, (op_params, opt_state, H, rng), None, length=n_updates)
+        return op_params, opt_state, jax.lax.stop_gradient(H), rng
+
+    def _likelihood_score(self, x_den, vjp_fn, degrade):
+        """zeta-normalized DPS guidance (EulerHeunSamplerDPS.py:61-69)."""
+        def rec_of_xden(xd):
+            return self.rec_loss(self.y, degrade(xd))
+        rec, g_xden = jax.value_and_grad(rec_of_xden)(x_den)
+        rec_grads = vjp_fn(g_xden)[0]
+        normguide = jnp.linalg.norm(rec_grads) / (self.audio_len ** 0.5)
+        return self.zeta / (normguide + 1e-8) * rec_grads, rec
+
+    def _guided_update(self, x_hat, t_hat, operator, opt, blind,
+                       op_params, opt_state, H, rng):
+        """Denoise + (blind) operator optimization + guidance at one sigma.
+        Returns (x_den_for_score, ode_integrand, op_state...)."""
+        x_den, vjp_fn = jax.vjp(lambda xh: self._denoise(xh, t_hat), x_hat)
+
+        if blind:
+            op_params, opt_state, H, rng = self._optimize_op(
+                operator, opt, jax.lax.stop_gradient(x_den), t_hat,
+                op_params, opt_state, H, rng)
+            degrade = lambda xd: operator.degradation(xd, H=H, mode="waveform")
+        elif H is not None:
+            degrade = lambda xd: operator.degradation(xd, H=H, mode="waveform")
+        else:
+            degrade = lambda xd: operator.degradation(xd)
+
+        lh_score, _rec = self._likelihood_score(x_den, vjp_fn, degrade)
+        x_den = jax.lax.stop_gradient(x_den)
+
+        csm = self.ps.get("constraint_speech_magnitude", None)
+        if csm is not None and csm.get("use", False):
+            x_den = float(csm["speech_scaling"]) / _std(x_den) * x_den
+
+        d = (x_hat - x_den) / t_hat + lh_score  # -t*score + lh
+        return x_den, d, op_params, opt_state, H, rng
+
+    def _scan_step(self, operator, opt, blind, carry, inp):
+        """One guided reverse-diffusion step (EulerHeunSamplerDPS.py:115-157)."""
+        x, rng, op_params, opt_state, H = carry
+        t_i, t_ip1, gamma_i = inp
+        rng, k_eps = jax.random.split(rng)
+
+        t_hat = t_i + gamma_i * t_i
+        eps = jax.random.normal(k_eps, x.shape, x.dtype)
+        x_hat = x + jnp.sqrt(jnp.maximum(t_hat ** 2 - t_i ** 2, 0.0)) * eps
+
+        x_den, d, op_params, opt_state, H, rng = self._guided_update(
+            x_hat, t_hat, operator, opt, blind, op_params, opt_state, H, rng)
+        dt = t_ip1 - t_hat
+        x_euler = x_hat + dt * d
+
+        if self.order == 2:
+            def second_order(args):
+                op_params, opt_state, H, rng = args
+                x_prime = x_euler
+                x_den2, d2, op_params, opt_state, H, rng = self._guided_update(
+                    x_prime, t_ip1, operator, opt, blind,
+                    op_params, opt_state, H, rng)
+                x_next = x_hat + dt * 0.5 * (d + d2)
+                return x_next, x_den2, op_params, opt_state, H, rng
+
+            def first_order(args):
+                op_params, opt_state, H, rng = args
+                return x_euler, x_den, op_params, opt_state, H, rng
+
+            x_next, x_den, op_params, opt_state, H, rng = jax.lax.cond(
+                t_ip1 != 0.0, second_order, first_order,
+                (op_params, opt_state, H, rng))
+        else:
+            x_next = x_euler
+
+        return (x_next, rng, op_params, opt_state, H), x_den
+
+    # ------------------------------------------------------------------
+    def _run(self, operator, blind, shape, y, rng):
+        self.y = y
+        t = self.create_schedule()
+        gamma = self.get_gamma(t)
+        rng, k_init = jax.random.split(rng)
+        x = self.initialize_x(y, shape, k_init, t[0])
+
+        if blind:
+            opt = self._make_opt()
+            op_params = {k: jnp.asarray(v) for k, v in operator.params.items()}
+            opt_state = opt.init(op_params)
+            H = operator.H if operator.H is not None else operator.compute_H(op_params)
+        else:
+            opt = None
+            op_params = {}
+            opt_state = ()
+            H = operator.H if getattr(operator, "H", None) is not None else None
+
+        step = partial(self._scan_step, operator, opt, blind)
+        inputs = (t[:-1], t[1:], gamma[:-1])
+        (x, _, op_params, _, H), x_dens = jax.lax.scan(
+            step, (x, rng, op_params, opt_state, H), inputs)
+        x_den_final = x_dens[-1]
+        return x, x_den_final, op_params, H
+
+    def predict_conditional(self, y, operator, shape=None, blind=False,
+                            rng=None, **_kwargs):
+        """Run guided sampling; returns the final denoised estimate x_den
+        (EulerHeunSamplerDPS.py:178 — NOT x)."""
+        self._build_losses(operator, blind)
+        self.operator = operator
+        if shape is None:
+            shape = y.shape
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+        run = jax.jit(partial(self._run, operator, blind, tuple(shape)))
+        x, x_den, op_params, H = run(y, rng)
+        # surface final operator state for the tester (estimated RIR output)
+        if blind:
+            operator.params = {k: v for k, v in op_params.items()}
+            operator.H = H
+        return x_den
+
+    def predict_unconditional(self, *args, **kwargs):
+        raise ValueError("DPS not made for unconditional sampling")

@@ -1,0 +1,194 @@
+"""Sampler tests: analytic-denoiser statistics + step-level torch parity.
+
+Step-level parity uses gamma=0 (Schurn=0) so the only stochastic element —
+the churn noise — vanishes and the Euler/Heun update is deterministic, with
+a shared linear mock denoiser on both sides.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from buddy_tpu.config import ConfigDict
+from buddy_tpu.diffusion.edm import EDM
+from buddy_tpu.sampling.euler_heun import EulerHeunSampler
+from buddy_tpu.sampling.dps import EulerHeunSamplerDPS
+
+from ref_stubs import ref_path
+
+
+def make_args(T=20, order=2, Schurn=0.0, smin=1e-3, smax=1.0, zeta=2.75,
+              modes=("unconditional",), warm="none",
+              constraint_speech=False):
+    return ConfigDict({
+        "exp": {"audio_len": 4096, "sample_rate": 16000},
+        "tester": {
+            "sampling_params": {
+                "same_as_training": False,
+                "sde_hp": {"sigma_data": 0.05, "sigma_min": smin,
+                           "sigma_max": smax, "rho": 10},
+                "Schurn": Schurn, "Snoise": 1, "Stmin": 0, "Stmax": 10,
+                "order": order, "T": T, "schedule": "edm",
+            },
+            "posterior_sampling": {
+                "zeta": zeta,
+                "rec_loss": {"name": "l2_comp_stft_summean", "weight": 512,
+                             "compression_factor": 0.667},
+                "normalization_type": "grad_norm",
+                "warm_initialization": {"mode": warm, "scaling_factor": 0.05},
+                "constraint_speech_magnitude": {"use": constraint_speech,
+                                                "speech_scaling": 0.05},
+            },
+            "modes": list(modes),
+        },
+    })
+
+
+EDM_HP = {"sigma_data": 0.05, "sigma_min": 1e-3, "sigma_max": 1.0, "rho": 10}
+
+
+def test_unconditional_gaussian_statistics():
+    """With the analytic optimal denoiser for x ~ N(0, s^2 I), Euler-Heun
+    sampling must produce samples with std ~= s."""
+    s = 0.05
+    args = make_args(T=40, order=2, Schurn=5)
+    edm = EDM(sde_hp=EDM_HP)
+    sampler = EulerHeunSampler(model=None, diff_params=edm, args=args)
+
+    # optimal denoiser: E[x0|xt] = s^2/(s^2+t^2) * xt
+    def analytic_denoise(x, t):
+        t = jnp.asarray(t).reshape(-1, *([1] * (x.ndim - 1)))
+        return s ** 2 / (s ** 2 + t ** 2) * x
+
+    sampler._denoise = analytic_denoise
+    x = sampler.predict((64, 512), rng=jax.random.PRNGKey(0))
+    x = np.asarray(x)
+    assert np.isfinite(x).all()
+    assert abs(x.std() - s) < 0.15 * s
+
+
+class _TorchMockNet(torch.nn.Module):
+    """net(cin*x, cnoise) = 0.5*input + 0.1*sin(input) — nonlinear but smooth."""
+
+    def forward(self, x, cnoise):
+        return 0.5 * x + 0.1 * torch.sin(x)
+
+    def eval(self):
+        return self
+
+
+def _jax_mock_net(x, cnoise):
+    return 0.5 * x + 0.1 * jnp.sin(x)
+
+
+@pytest.fixture(scope="module")
+def ref_samplers():
+    ref_path()
+    from testing.EulerHeunSampler import EulerHeunSampler as RefEHS
+    from testing.EulerHeunSamplerDPS import EulerHeunSamplerDPS as RefDPS
+    from diff_params.edm import EDM as RefEDM
+    return RefEHS, RefDPS, RefEDM
+
+
+def test_unconditional_step_parity(ref_samplers, rng):
+    """Deterministic (Schurn=0) 5-step rollout matches the torch reference."""
+    RefEHS, _, RefEDM = ref_samplers
+    args = make_args(T=5, order=2, Schurn=0.0)
+    ref_edm = RefEDM("ve_karras", args.tester.sampling_params.sde_hp)
+    ref = RefEHS(_TorchMockNet(), ref_edm, args)
+
+    edm = EDM(sde_hp=dict(args.tester.sampling_params.sde_hp))
+    ours = EulerHeunSampler(model=_jax_mock_net, diff_params=edm, args=args)
+
+    x0 = rng.standard_normal((1, 4096)).astype(np.float32)
+
+    # torch rollout
+    t = ref.create_schedule()
+    x_t = torch.from_numpy(x0.copy())
+    for i in range(ref.T):
+        x_t, _ = ref.step(x_t, t[i], t[i + 1], torch.tensor(0.0))
+    ref_out = x_t.numpy()
+
+    # jax rollout through the scan step
+    tj = ours.create_schedule()
+    gam = jnp.zeros_like(tj)
+    carry = (jnp.asarray(x0), jax.random.PRNGKey(0))
+    for i in range(ours.T):
+        carry, _ = ours._scan_step(carry, (tj[i], tj[i + 1], gam[i]))
+    ours_out = np.asarray(carry[0])
+
+    np.testing.assert_allclose(ours_out, ref_out, atol=1e-4)
+
+
+def test_informed_dps_step_parity(ref_samplers, rng):
+    """One guided order-2 step with a known RIR matches the reference,
+    exercising the vjp-through-denoiser guidance and grad-norm zeta scaling."""
+    RefEHS, RefDPS, RefEDM = ref_samplers
+    from testing.operators.reverb import RIROperator as RefRIR
+    from buddy_tpu.operators.reverb import RIROperator
+
+    args = make_args(T=5, order=2, Schurn=0.0, warm="reverb_scaled")
+    op_hp = ConfigDict({"NFFT": 1024, "win_length": 512, "hop": 128, "window": "hann"})
+
+    rir = (rng.standard_normal(1000) * np.exp(-np.arange(1000) / 150)).astype(np.float32)
+    rir[0] = 1.0
+    x_clean = rng.standard_normal((1, 4096)).astype(np.float32) * 0.05
+
+    # --- torch side
+    ref_edm = RefEDM("ve_karras", args.tester.sampling_params.sde_hp)
+    ref = RefDPS(_TorchMockNet(), ref_edm, args)
+    ref_op = RefRIR(op_hp, time_kernel_size=1000, sample_rate=16000)
+    ref_op.update_params(torch.from_numpy(rir.copy()))
+    y_t = ref_op.degradation(torch.from_numpy(x_clean.copy()))
+    from utils.losses import get_loss as ref_get_loss
+    ref.operator = ref_op
+    ref.y = y_t
+    ref.rec_loss = ref_get_loss(args.tester.posterior_sampling.rec_loss, operator=ref_op)
+    t_sched = ref.create_schedule()
+    x0 = rng.standard_normal((1, 4096)).astype(np.float32)
+    x_ref, xden_ref = ref.step(torch.from_numpy(x0.copy()), t_sched[0],
+                               t_sched[1], torch.tensor(0.0))
+    x_ref = x_ref.detach().numpy()
+
+    # --- jax side
+    edm = EDM(sde_hp=dict(args.tester.sampling_params.sde_hp))
+    ours = EulerHeunSamplerDPS(model=_jax_mock_net, diff_params=edm, args=args)
+    our_op = RIROperator(op_hp, time_kernel_size=1000, sample_rate=16000)
+    our_op.update_params(jnp.asarray(rir))
+    y_j = our_op.degradation(jnp.asarray(x_clean))
+    np.testing.assert_allclose(np.asarray(y_j), y_t.detach().numpy(), atol=1e-4)
+
+    ours._build_losses(our_op, blind=False)
+    ours.y = jnp.asarray(y_j)
+    tj = ours.create_schedule()
+    carry = (jnp.asarray(x0), jax.random.PRNGKey(0), {}, (), None)
+    step = lambda c, i: ours._scan_step(our_op, None, False, c, i)
+    carry, xden_j = step(carry, (tj[0], tj[1], jnp.float32(0.0)))
+    x_j = np.asarray(carry[0])
+
+    np.testing.assert_allclose(np.asarray(xden_j), xden_ref.detach().numpy(), atol=2e-4)
+    np.testing.assert_allclose(x_j, x_ref, atol=2e-3)
+
+
+def test_wpe_reduces_reverb(rng):
+    """WPE warm init: late-reverb energy of the output is below the input's."""
+    from buddy_tpu.sampling.wpe import wpe_dereverb
+    from buddy_tpu.ops.fftconv import fft_convolve
+
+    T = 8192
+    x = np.zeros(T, np.float32)
+    impulses = rng.integers(0, T - 1, 60)
+    x[impulses] = rng.standard_normal(60).astype(np.float32)
+    rir = (np.exp(-np.arange(2000) / 300) * rng.standard_normal(2000)).astype(np.float32) * 0.4
+    rir[0] = 1.0
+    y = np.asarray(fft_convolve(jnp.asarray(x), jnp.asarray(rir)))
+
+    z = np.asarray(wpe_dereverb(jnp.asarray(y), taps=20, delay=2, iterations=3))
+    assert z.shape == y.shape
+    assert np.isfinite(z).all()
+    err_before = np.mean((y - x) ** 2)
+    err_after = np.mean((z - x) ** 2)
+    assert err_after < err_before
