@@ -1,0 +1,125 @@
+"""Benchmark: blind dereverberation real-time factor + score-net step time.
+
+Runs the flagship workload (BASELINE.json north-star): 50-step blind
+dereverberation of a 4 s VCTK utterance on one TPU chip — the full BUDDy
+pipeline (WPE warm init, per-step U-Net denoise + DPS guidance + 10 subband
+operator Adam updates) compiled into a single lax.scan program.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": RTF, "unit": "x_realtime", "vs_baseline": ...}
+vs_baseline is measured against the >10x-real-time north-star target
+(the reference repo publishes no numbers of its own, BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    t_setup = time.time()
+    from buddy_tpu.config import compose, instantiate
+    from buddy_tpu.models import NetworkBundle
+    from buddy_tpu.diffusion.edm import EDM
+    from buddy_tpu.operators.reverb import RIROperator
+    from buddy_tpu.operators.subband import BlindSubbandFiltering
+    from buddy_tpu.data.audio_io import read_wav
+
+    T_STEPS = int(os.environ.get("BENCH_T", 50))
+    AUDIO_LEN = 65536  # 4.096 s @ 16 kHz
+    SR = 16000
+
+    args = compose("conf_VCTK.yaml", [
+        "tester=blind_dereverberation_BUDDy",
+        f"tester.sampling_params.T={T_STEPS}",
+    ])
+
+    # flagship network (nf=128, ch_mult [1,2,2,2]) with random weights —
+    # identical compute graph to the pretrained checkpoint
+    module = instantiate(args["network"])
+    edm = EDM(sde_hp=dict(args["diff_params"]["sde_hp"]))
+    network = NetworkBundle(module)
+    x0 = jnp.zeros((1, 1, AUDIO_LEN), jnp.float32)
+    network.init(jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.float32))
+
+    # --- score-net ms/step ------------------------------------------------
+    sampler_edm = instantiate(args["diff_params"])
+
+    @jax.jit
+    def denoise(params, x, sigma):
+        net = lambda xx, cn: module.apply(params, xx, cn)
+        return sampler_edm.denoiser(x[:, None, :], net, sigma)[:, 0, :]
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, AUDIO_LEN)) * 0.05
+    sig = jnp.asarray([0.1], jnp.float32)
+    denoise(network.params, x, sig).block_until_ready()  # compile
+    n_rep = 10
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = denoise(network.params, x, sig)
+    out.block_until_ready()
+    scorenet_ms = (time.perf_counter() - t0) / n_rep * 1e3
+
+    # --- blind dereverb RTF ----------------------------------------------
+    sampler = instantiate(args["tester"]["sampler"], network, edm, args)
+
+    clean, sr = read_wav("/root/reference/audio_examples/clean/p226/p226_003.wav")
+    rir, _ = read_wav("/root/reference/audio_examples/rir/p226/p226_003.wav")
+    rir = rir[int(np.argmax(np.abs(rir))):]
+    rir = rir / np.abs(rir).max()
+    seg = np.zeros(AUDIO_LEN, np.float32)
+    n = min(len(clean), AUDIO_LEN)
+    seg[:n] = clean[:n]
+    seg = 0.05 * seg / seg.std(ddof=1)
+
+    op_hp = args["tester"]["informed_dereverberation"]["op_hp"]
+    ref_op = RIROperator(op_hp, time_kernel_size=len(rir), sample_rate=SR)
+    ref_op.update_params(jnp.asarray(rir))
+    y = ref_op.degradation(jnp.asarray(seg)[None, :])
+
+    blind_op = BlindSubbandFiltering(op_hp, sample_rate=SR)
+    blind_op.reset(jax.random.PRNGKey(3))
+
+    def run_once(key):
+        pred = sampler.predict_conditional(y, blind_op, shape=(1, AUDIO_LEN),
+                                           blind=True, rng=key)
+        return np.asarray(pred)
+
+    t0 = time.perf_counter()
+    run_once(jax.random.PRNGKey(4))  # compile + first run
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        pred = run_once(jax.random.PRNGKey(5 + i))
+        times.append(time.perf_counter() - t0)
+    wall = float(np.median(times))
+    assert np.isfinite(pred).all(), "non-finite output"
+
+    audio_seconds = AUDIO_LEN / SR
+    rtf = audio_seconds / wall
+
+    result = {
+        "metric": "Blind dereverb real-time factor (50-step EDM); score-net ms/step",
+        "value": round(rtf, 3),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 10.0, 3),  # north-star: >10x real-time
+        "score_net_ms_per_step": round(scorenet_ms, 3),
+        "blind_50step_wall_s": round(wall, 3),
+        "compile_s": round(compile_s, 1),
+        "setup_s": round(time.time() - t_setup, 1),
+        "device": str(jax.devices()[0]),
+        "T": T_STEPS,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

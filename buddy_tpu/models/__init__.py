@@ -1,3 +1,30 @@
-from buddy_tpu.models.ncsnpp import NCSNpp, NCSNppTime
+from buddy_tpu.models.ncsnpp import NCSNpp, NCSNppTime, NCSNppTimeModule
 
-__all__ = ["NCSNpp", "NCSNppTime"]
+
+class NetworkBundle:
+    """A flax module + its parameter pytree, presented as a callable net.
+
+    The samplers thread ``bundle.params`` explicitly through their jitted
+    programs (so reloading a checkpoint never recompiles); the trainer swaps
+    ``params`` after each update for evaluation-in-training.
+    """
+
+    def __init__(self, module, params=None):
+        self.module = module
+        self.params = params
+
+    def __call__(self, x, cnoise):
+        return self.module.apply(self.params, x, cnoise)
+
+    def init(self, rng, x, cnoise):
+        self.params = self.module.init(rng, x, cnoise)
+        return self.params
+
+    @property
+    def num_params(self) -> int:
+        import jax
+        import numpy as np
+        return int(sum(np.prod(p.shape) for p in jax.tree.leaves(self.params)))
+
+
+__all__ = ["NCSNpp", "NCSNppTime", "NCSNppTimeModule", "NetworkBundle"]

@@ -72,9 +72,14 @@ class RIROperator(Operator):
         self.sample_rate = sample_rate
 
     # --- degradation -----------------------------------------------------
-    def degradation(self, x: jax.Array, rm_delay: bool = False, **_ignored) -> jax.Array:
-        assert self.params is not None, "filter is None"
-        return fast_apply_rir(x, self.params, rm_delay=rm_delay)
+    def degradation(self, x: jax.Array, rm_delay: bool = False,
+                    filt: jax.Array | None = None, **_ignored) -> jax.Array:
+        """FFT-convolve with the RIR; ``filt`` overrides the stored params so
+        jitted programs can thread the RIR explicitly (no closure baking)."""
+        if filt is None:
+            assert self.params is not None, "filter is None"
+            filt = self.params
+        return fast_apply_rir(x, filt, rm_delay=rm_delay)
 
     def update_params(self, k, **_ignored) -> None:
         self.params = jnp.asarray(k, jnp.float32)

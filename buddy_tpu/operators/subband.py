@@ -294,6 +294,14 @@ class BlindSubbandFiltering(SubbandFiltering):
             self.params = dict(self.params, phases=jnp.asarray(phases))
         self.H = self.compute_H(self.params)
 
+    def reset(self, rng: jax.Array) -> None:
+        """Fresh per-utterance state: config-init decay/weights + noise-
+        coherent phases (what the reference gets by constructing a new
+        operator per file, tester.py:149-151)."""
+        k1, k2 = jax.random.split(rng)
+        self.params = self.init_params(k1)
+        self.noise_coherent_init(k2)
+
     def update_params(self, params_dict) -> None:
         """Reset decay/weights from T60 breakpoints (subband_filtering.py:287-296)."""
         T60 = jnp.asarray(params_dict["T60_breakpoints"], jnp.float32)

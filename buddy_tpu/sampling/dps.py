@@ -134,10 +134,10 @@ class EulerHeunSamplerDPS(EulerHeunSampler):
         return self.zeta / (normguide + 1e-8) * rec_grads, rec
 
     def _guided_update(self, x_hat, t_hat, operator, opt, blind,
-                       op_params, opt_state, H, rng):
+                       op_params, opt_state, H, rng, net_params=()):
         """Denoise + (blind) operator optimization + guidance at one sigma.
         Returns (x_den_for_score, ode_integrand, op_state...)."""
-        x_den, vjp_fn = jax.vjp(lambda xh: self._denoise(xh, t_hat), x_hat)
+        x_den, vjp_fn = jax.vjp(lambda xh: self._denoise(xh, t_hat, net_params), x_hat)
 
         if blind:
             op_params, opt_state, H, rng = self._optimize_op(
@@ -145,7 +145,10 @@ class EulerHeunSamplerDPS(EulerHeunSampler):
                 op_params, opt_state, H, rng)
             degrade = lambda xd: operator.degradation(xd, H=H, mode="waveform")
         elif H is not None:
-            degrade = lambda xd: operator.degradation(xd, H=H, mode="waveform")
+            if hasattr(operator, "subband_filtering"):
+                degrade = lambda xd: operator.degradation(xd, H=H, mode="waveform")
+            else:  # RIROperator: H carries the (padded) time-domain RIR
+                degrade = lambda xd: operator.degradation(xd, filt=H)
         else:
             degrade = lambda xd: operator.degradation(xd)
 
@@ -159,7 +162,7 @@ class EulerHeunSamplerDPS(EulerHeunSampler):
         d = (x_hat - x_den) / t_hat + lh_score  # -t*score + lh
         return x_den, d, op_params, opt_state, H, rng
 
-    def _scan_step(self, operator, opt, blind, carry, inp):
+    def _scan_step(self, operator, opt, blind, carry, inp, net_params=()):
         """One guided reverse-diffusion step (EulerHeunSamplerDPS.py:115-157)."""
         x, rng, op_params, opt_state, H = carry
         t_i, t_ip1, gamma_i = inp
@@ -170,7 +173,8 @@ class EulerHeunSamplerDPS(EulerHeunSampler):
         x_hat = x + jnp.sqrt(jnp.maximum(t_hat ** 2 - t_i ** 2, 0.0)) * eps
 
         x_den, d, op_params, opt_state, H, rng = self._guided_update(
-            x_hat, t_hat, operator, opt, blind, op_params, opt_state, H, rng)
+            x_hat, t_hat, operator, opt, blind, op_params, opt_state, H, rng,
+            net_params)
         dt = t_ip1 - t_hat
         x_euler = x_hat + dt * d
 
@@ -180,7 +184,7 @@ class EulerHeunSamplerDPS(EulerHeunSampler):
                 x_prime = x_euler
                 x_den2, d2, op_params, opt_state, H, rng = self._guided_update(
                     x_prime, t_ip1, operator, opt, blind,
-                    op_params, opt_state, H, rng)
+                    op_params, opt_state, H, rng, net_params)
                 x_next = x_hat + dt * 0.5 * (d + d2)
                 return x_next, x_den2, op_params, opt_state, H, rng
 
@@ -197,7 +201,10 @@ class EulerHeunSamplerDPS(EulerHeunSampler):
         return (x_next, rng, op_params, opt_state, H), x_den
 
     # ------------------------------------------------------------------
-    def _run(self, operator, blind, shape, y, rng):
+    def _run(self, operator, blind, shape, net_params, y, rng, op_params, H):
+        """The jitted sampling program.  ``op_params``/``H`` are explicit
+        inputs (NOT closure-baked) so per-utterance operator state never
+        retriggers compilation."""
         self.y = y
         t = self.create_schedule()
         gamma = self.get_gamma(t)
@@ -206,16 +213,12 @@ class EulerHeunSamplerDPS(EulerHeunSampler):
 
         if blind:
             opt = self._make_opt()
-            op_params = {k: jnp.asarray(v) for k, v in operator.params.items()}
             opt_state = opt.init(op_params)
-            H = operator.H if operator.H is not None else operator.compute_H(op_params)
         else:
             opt = None
-            op_params = {}
             opt_state = ()
-            H = operator.H if getattr(operator, "H", None) is not None else None
 
-        step = partial(self._scan_step, operator, opt, blind)
+        step = lambda c, i: self._scan_step(operator, opt, blind, c, i, net_params)
         inputs = (t[:-1], t[1:], gamma[:-1])
         (x, _, op_params, _, H), x_dens = jax.lax.scan(
             step, (x, rng, op_params, opt_state, H), inputs)
@@ -232,8 +235,25 @@ class EulerHeunSamplerDPS(EulerHeunSampler):
             shape = y.shape
         rng = rng if rng is not None else jax.random.PRNGKey(0)
 
-        run = jax.jit(partial(self._run, operator, blind, tuple(shape)))
-        x, x_den, op_params, H = run(y, rng)
+        if blind:
+            op_params = {k: jnp.asarray(v) for k, v in operator.params.items()}
+            H = (operator.H if operator.H is not None
+                 else operator.compute_H(op_params))
+            op_key = ("blind", operator.n_fft, operator.Nf)
+        else:
+            op_params = {}
+            if hasattr(operator, "subband_filtering"):
+                H = operator.H
+                op_key = ("subband", operator.n_fft, operator.Nf)
+            else:
+                H = operator.params  # the time-domain RIR
+                op_key = ("rir", None if H is None else H.shape[-1])
+        key = ("dps", blind, tuple(shape), op_key)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                partial(self._run, operator, blind, tuple(shape)))
+        x, x_den, op_params, H = self._jit_cache[key](
+            self.net_params(), y, rng, op_params, H)
         # surface final operator state for the tester (estimated RIR output)
         if blind:
             operator.params = {k: v for k, v in op_params.items()}

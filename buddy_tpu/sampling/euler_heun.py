@@ -25,10 +25,12 @@ from buddy_tpu.sampling.schedule import create_schedule, get_gamma
 
 
 class Sampler:
-    """Base sampler: owns the model bundle, diff params, and config.
+    """Base sampler: owns the model, diff params, and config.
 
-    ``model`` is a callable ``(x, cnoise) -> x̂`` closed over network params
-    (see buddy_tpu.testing.tester for how it is built from a checkpoint).
+    ``model`` is either a plain callable ``(x, cnoise) -> x̂`` (tests, mock
+    denoisers) or a ``NetworkBundle`` (flax module + params); with a bundle,
+    the params are threaded explicitly through the jitted sampling program so
+    checkpoint reloads don't trigger recompilation.
     """
 
     def __init__(self, model: Callable, diff_params, args):
@@ -40,6 +42,19 @@ class Sampler:
                        else dict(sp["sde_hp"]))
         self.T = int(sp["T"])
         self.schedule_kind = sp.get("schedule", "edm")
+        self._jit_cache: dict = {}
+
+    @property
+    def _is_bundle(self) -> bool:
+        return hasattr(self.model, "module")
+
+    def net_params(self):
+        return self.model.params if self._is_bundle else ()
+
+    def _net_fn(self, params) -> Callable:
+        if self._is_bundle:
+            return lambda x, cnoise: self.model.module.apply(params, x, cnoise)
+        return self.model
 
     def create_schedule(self, sigma_min=None, sigma_max=None, rho=None, T=None):
         hp = self.sde_hp
@@ -50,9 +65,10 @@ class Sampler:
             rho=float(rho if rho is not None else hp["rho"]),
             schedule=self.schedule_kind)
 
-    def get_tweedie_estimate(self, x: jax.Array, t_i) -> jax.Array:
+    def get_tweedie_estimate(self, x: jax.Array, t_i, params=()) -> jax.Array:
         """denoiser() on a (B, T) waveform (Sampler.py:70-72)."""
-        return self.diff_params.denoiser(x[:, None, :], self.model, t_i)[:, 0, :]
+        net = self._net_fn(params)
+        return self.diff_params.denoiser(x[:, None, :], net, t_i)[:, 0, :]
 
     def tweedie_to_score(self, tweedie, xt, t):
         return self.diff_params.tweedie_to_score(tweedie, xt, t)
@@ -85,10 +101,10 @@ class EulerHeunSampler(Sampler):
         return get_gamma(t, Schurn=self.Schurn, Stmin=self.Stmin, Stmax=self.Stmax)
 
     # ------------------------------------------------------------------
-    def _denoise(self, x, t):
-        return self.get_tweedie_estimate(x, t)
+    def _denoise(self, x, t, params=()):
+        return self.get_tweedie_estimate(x, t, params)
 
-    def _scan_step(self, carry, inp):
+    def _scan_step(self, carry, inp, params=()):
         """One reverse-diffusion step (EulerHeunSampler.py:47-72)."""
         x, rng = carry
         t_i, t_ip1, gamma_i = inp
@@ -98,7 +114,7 @@ class EulerHeunSampler(Sampler):
         eps = jax.random.normal(k_eps, x.shape, x.dtype)  # Snoise=1 (see module docstring)
         x_hat = x + jnp.sqrt(jnp.maximum(t_hat ** 2 - t_i ** 2, 0.0)) * eps
 
-        x_den = self._denoise(x_hat, t_hat)
+        x_den = self._denoise(x_hat, t_hat, params)
         d = (x_hat - x_den) / t_hat          # -t*score for VE
         dt = t_ip1 - t_hat
         x_euler = x_hat + dt * d
@@ -106,7 +122,7 @@ class EulerHeunSampler(Sampler):
         if self.order == 2:
             def second_order(_):
                 x_prime = x_euler
-                x_den2 = self._denoise(x_prime, t_ip1)
+                x_den2 = self._denoise(x_prime, t_ip1, params)
                 d2 = (x_prime - x_den2) / t_ip1
                 return x_hat + dt * 0.5 * (d + d2), x_den2
 
@@ -118,19 +134,22 @@ class EulerHeunSampler(Sampler):
             x_next = x_euler
         return (x_next, rng), None
 
-    def _run(self, shape, rng):
+    def _run(self, shape, params, rng):
         t = self.create_schedule()
         gamma = self.get_gamma(t)
         rng, k_init = jax.random.split(rng)
         x = t[0] * jax.random.normal(k_init, shape)
         inputs = (t[:-1], t[1:], gamma[:-1])
-        (x, _), _ = jax.lax.scan(self._scan_step, (x, rng), inputs)
+        step = lambda c, i: self._scan_step(c, i, params)
+        (x, _), _ = jax.lax.scan(step, (x, rng), inputs)
         return x
 
     def predict(self, shape, rng=None, blind: bool = False):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        run = jax.jit(partial(self._run, tuple(shape)))
-        return run(rng)
+        key = ("uncond", tuple(shape))
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(partial(self._run, tuple(shape)))
+        return self._jit_cache[key](self.net_params(), rng)
 
     def predict_unconditional(self, shape, rng=None, **_):
         return self.predict(shape, rng=rng)

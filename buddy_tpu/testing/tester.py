@@ -1,0 +1,224 @@
+"""Inference driver: unconditional sampling + informed/blind dereverberation.
+
+Parity target: testing/tester.py in the reference — mode dispatch over
+``args.tester.modes``, per-file loop that (1) normalizes the clean input to
+sigma_data scale, (2) synthesizes the observation with the *true* RIR,
+(3) optionally builds a noise-initialized blind subband operator, (4) runs
+guided sampling, and (5) writes original/degraded/reconstructed/true-RIR/
+estimated-RIR WAV sets into a dated directory layout (tester.py:123-236).
+
+TPU-specific addition: variable-length utterances are bucket-padded to a
+multiple of ``bucket`` samples so the jitted sampling program compiles once
+per bucket instead of once per utterance length (BASELINE config 5:
+long-utterance chunked inference; SURVEY.md §7 hard part #4).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import date
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from buddy_tpu.config import instantiate, save_config
+import buddy_tpu.utils.log as utils_logging
+from buddy_tpu.operators.reverb import RIROperator
+from buddy_tpu.operators.subband import BlindSubbandFiltering
+
+
+def _std(x):
+    return float(np.std(np.asarray(x), ddof=1))
+
+
+class Tester:
+    def __init__(self, args, network, diff_params, test_set=None, device=None,
+                 in_training=False, rng=None):
+        self.args = args
+        self.network = network  # NetworkBundle
+        self.diff_params = diff_params
+        self.device = device
+        self.test_set = test_set
+        self.in_training = in_training
+        self.it = 0
+        self.rng = rng if rng is not None else jax.random.PRNGKey(42)
+        # bucket granularity for variable-length inference (samples)
+        self.bucket = int(args["tester"].get("bucket_pad", 16384))
+
+        self.sampler = instantiate(args["tester"]["sampler"],
+                                   self.network, self.diff_params, self.args)
+
+    # ------------------------------------------------------------------
+    # checkpoint loading (tester.py:34-97)
+    # ------------------------------------------------------------------
+    def load_checkpoint(self, path) -> bool:
+        """Load network weights from a torch ``.pt`` (converted on the fly)
+        or a buddy_tpu Orbax/npz checkpoint; prefers EMA weights."""
+        from buddy_tpu.training.checkpoint import load_any_checkpoint
+        params, it = load_any_checkpoint(path, prefer_ema=True)
+        self.network.params = params
+        self.it = it
+        print(f"loaded checkpoint {path} (it={it})")
+        return True
+
+    def load_latest_checkpoint(self) -> bool:
+        from buddy_tpu.training.checkpoint import find_latest_checkpoint
+        path = find_latest_checkpoint(self.args["model_dir"],
+                                      self.args["exp"]["exp_name"])
+        if path is None:
+            raise ValueError("No checkpoint found")
+        return self.load_checkpoint(path)
+
+    # ------------------------------------------------------------------
+    # unconditional sampling (tester.py:104-113)
+    # ------------------------------------------------------------------
+    def sample_unconditional(self, mode):
+        tcfg = self.args["tester"]
+        audio_len = int(tcfg["unconditional"].get("audio_len",
+                                                  self.args["exp"]["audio_len"]))
+        shape = (int(tcfg["unconditional"]["num_samples"]), audio_len)
+        self.rng, k = jax.random.split(self.rng)
+        preds = self.sampler.predict_unconditional(shape, rng=k)
+        if not self.in_training:
+            for i in range(len(preds)):
+                utils_logging.write_audio_file(
+                    preds[i], self.args["exp"]["sample_rate"],
+                    f"unconditional_{i}", path=self.paths["unconditional"])
+        return preds
+
+    # ------------------------------------------------------------------
+    # dereverberation (tester.py:123-164)
+    # ------------------------------------------------------------------
+    def _bucket_pad(self, n: int) -> int:
+        b = self.bucket
+        return ((n + b - 1) // b) * b if b > 0 else n
+
+    def test_dereverberation(self, mode, blind=False):
+        if self.test_set is None:
+            print("No test set specified")
+            return
+        if len(self.test_set) == 0:
+            print("No samples found in test set")
+            return
+
+        exp = self.args["exp"]
+        tcfg = self.args["tester"]
+        scaling = float(tcfg["posterior_sampling"]["warm_initialization"]["scaling_factor"])
+
+        operator_blind = None
+        if blind:
+            assert tcfg["blind_dereverberation"]["operator"] == "subband_filtering"
+            # one operator instance for the whole set: per-utterance state is
+            # threaded through the jitted program, so the compile cache holds
+            operator_blind = BlindSubbandFiltering(
+                tcfg["informed_dereverberation"]["op_hp"],
+                sample_rate=exp["sample_rate"])
+
+        for i in range(len(self.test_set)):
+            original, rir, filename = self.test_set[i]
+            seg = np.asarray(original, np.float32)
+            seg = scaling * seg / _std(seg)  # normalize to sigma_data scale
+            rir = np.asarray(rir, np.float32)
+            # zero-pad the RIR to a bucket so the informed-DPS program
+            # compiles once per RIR-length bucket (conv result is unchanged)
+            rb = 4096
+            rir_padded = np.pad(rir, (0, ((len(rir) + rb - 1) // rb) * rb - len(rir)))
+
+            # forward pass with the true RIR
+            operator_ref = RIROperator(tcfg["informed_dereverberation"]["op_hp"],
+                                       time_kernel_size=rir.shape[-1],
+                                       sample_rate=exp["sample_rate"])
+            operator_ref.update_params(jnp.asarray(rir_padded))
+            y = operator_ref.degradation(jnp.asarray(seg)[None, :])
+
+            # bucket-pad for a bounded jit cache over utterance lengths
+            n = seg.shape[-1]
+            n_pad = self._bucket_pad(n)
+            y_padded = jnp.pad(y, ((0, 0), (0, n_pad - n)))
+
+            if blind:
+                self.rng, k_op = jax.random.split(self.rng)
+                operator = operator_blind
+                operator.reset(k_op)
+            else:
+                operator = operator_ref
+
+            self.rng, k_pred = jax.random.split(self.rng)
+            pred = self.sampler.predict_conditional(
+                y_padded, operator, shape=(1, n_pad), blind=blind, rng=k_pred)
+            pred = np.asarray(pred)[..., :n]
+
+            base = os.path.basename(filename)[:-4]
+            fs = exp["sample_rate"]
+            utils_logging.write_audio_file(seg, fs, base, path=self.paths[mode + "original"])
+            utils_logging.write_audio_file(np.asarray(y), fs, base,
+                                           path=self.paths[mode + "degraded"])
+            path_rec = utils_logging.write_audio_file(
+                pred, fs, base, path=self.paths[mode + "reconstructed"])
+            utils_logging.write_audio_file(rir, fs, base, path=self.paths[mode + "true_rir"])
+            if blind:
+                est_rir = np.asarray(operator.get_time_RIR(H=operator.H))
+                utils_logging.write_audio_file(
+                    est_rir, fs, base, path=self.paths[mode + "estimated_rir"])
+            print(path_rec)
+
+    # ------------------------------------------------------------------
+    # directory layout (tester.py:167-207)
+    # ------------------------------------------------------------------
+    def prepare_directories(self, mode, unconditional=False, blind=False):
+        today = date.today()
+        self.paths = {}
+        overriden = self.args["tester"].get("overriden_name", None)
+        if overriden is not None and overriden != "None":
+            self.path_sampling = os.path.join(self.args["model_dir"], overriden)
+        else:
+            self.path_sampling = os.path.join(
+                self.args["model_dir"], "test" + today.strftime("%d_%m_%Y"))
+        os.makedirs(self.path_sampling, exist_ok=True)
+
+        self.paths[mode] = os.path.join(self.path_sampling, mode,
+                                        self.args["exp"]["exp_name"])
+        os.makedirs(self.paths[mode], exist_ok=True)
+        if not unconditional:
+            for sub in ("original", "degraded", "reconstructed"):
+                p = os.path.join(self.paths[mode], sub)
+                os.makedirs(p, exist_ok=True)
+                self.paths[mode + sub] = p
+            if "dereverberation" in mode:
+                p = os.path.join(self.paths[mode], "true_rir")
+                os.makedirs(p, exist_ok=True)
+                self.paths[mode + "true_rir"] = p
+                if mode == "blind_dereverberation":
+                    p = os.path.join(self.paths[mode], "estimated_rir")
+                    os.makedirs(p, exist_ok=True)
+                    self.paths[mode + "estimated_rir"] = p
+
+    def save_experiment_args(self, mode):
+        save_config(self.args, os.path.join(self.paths[mode], ".argv"))
+
+    # ------------------------------------------------------------------
+    def do_test(self, it=0):
+        self.it = it
+        for m in self.args["tester"]["modes"]:
+            if m == "unconditional":
+                print("testing unconditional")
+                if not self.in_training:
+                    self.prepare_directories(m, unconditional=True)
+                    self.save_experiment_args(m)
+                return self.sample_unconditional(m)
+            elif m == "informed_dereverberation":
+                print("testing informed dereverberation")
+                if not self.in_training:
+                    self.prepare_directories(m)
+                    self.save_experiment_args(m)
+                self.test_dereverberation(m)
+            elif m == "blind_dereverberation":
+                print("testing blind dereverberation")
+                if not self.in_training:
+                    self.prepare_directories(m)
+                    self.save_experiment_args(m)
+                self.test_dereverberation(m, blind=True)
+            else:
+                print("Warning: unknown mode: ", m)

@@ -1,0 +1,19 @@
+#!/bin/bash
+# Canonical informed-dereverberation invocation
+# (reference: test_informed_dereverberation.sh)
+export HYDRA_FULL_ERROR=1
+
+ckpt=${CKPT:-experiments/VCTK_16k_4s_time-190000.pt}
+tester=informed_dereverberation_DPS
+conf=conf_VCTK.yaml
+name=inf_warm-init_N-201_rir-aligned
+PATH_EXPERIMENT=experiments/$name
+mkdir -p $PATH_EXPERIMENT
+python test.py --config-name=$conf \
+            tester=$tester \
+            tester.checkpoint=$ckpt \
+            model_dir=$PATH_EXPERIMENT \
+            +gpu=0 \
+            dset=vctk_16k_4s_test-benchmark \
+            dset.test.path=${TESTSET:-/root/reference/audio_examples} \
+            dset.test.num_examples=2

@@ -1,0 +1,144 @@
+"""Tests for the Pallas kernels (interpret mode on CPU) and the upfirdn
+resampling ops (vs the reference's pure-PyTorch upfirdn2d_native fallback,
+op/upfirdn2d.py:171-212)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental.pallas import tpu as pltpu
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels (interpreter mode on CPU)
+# ---------------------------------------------------------------------------
+
+def test_pallas_groupnorm_matches_reference(rng):
+    from buddy_tpu.ops.pallas.groupnorm import fused_group_norm_act, _gn_reference
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 12, 64)).astype(np.float32))
+    scale = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_group_norm_act(x, scale, bias, 16, 1e-6, "silu")
+    ref = _gn_reference(x, scale, bias, 16, 1e-6, "silu")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_pallas_groupnorm_grad(rng):
+    from buddy_tpu.ops.pallas.groupnorm import fused_group_norm_act, _gn_reference
+
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 32)).astype(np.float32))
+    scale = jnp.ones(32)
+    bias = jnp.zeros(32)
+
+    def f_pallas(x):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(fused_group_norm_act(x, scale, bias, 8, 1e-6, "silu") ** 2)
+
+    def f_ref(x):
+        return jnp.sum(_gn_reference(x, scale, bias, 8, 1e-6, "silu") ** 2)
+
+    g1 = jax.grad(f_pallas)(x)
+    g2 = jax.grad(f_ref)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_pallas_attention_matches_reference(rng):
+    from buddy_tpu.ops.pallas.attention import spatial_attention, _reference_attention
+
+    B, H, W, C = 2, 8, 9, 32  # N=72, forces padding/masking (tile 256 > N)
+    q = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+
+    with pltpu.force_tpu_interpret_mode():
+        out = spatial_attention(q, k, v, scale=C ** -0.5)
+    ref = _reference_attention(q.reshape(B, -1, C), k.reshape(B, -1, C),
+                               v.reshape(B, -1, C), C ** -0.5).reshape(B, H, W, C)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_pallas_model_output_unchanged(rng):
+    """NCSNpp(use_pallas=True) == NCSNpp(use_pallas=False) in interpret mode."""
+    from buddy_tpu.models.ncsnpp import NCSNpp
+
+    cfg = dict(nf=16, ch_mult=(1, 2), num_res_blocks=1, image_size=64)
+    m0 = NCSNpp(**cfg, use_pallas=False)
+    m1 = NCSNpp(**cfg, use_pallas=True)
+    x = jnp.asarray((rng.standard_normal((1, 1, 64, 16))
+                     + 1j * rng.standard_normal((1, 1, 64, 16))).astype(np.complex64))
+    t = jnp.asarray([0.2])
+    params = m0.init(jax.random.PRNGKey(0), x, t)
+    ref = m0.apply(params, x, t)
+    with pltpu.force_tpu_interpret_mode():
+        out = m1.apply(params, x, t)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# upfirdn resampling vs reference torch fallback
+# ---------------------------------------------------------------------------
+
+def _torch_upfirdn2d_native(input, kernel, up_x, up_y, down_x, down_y,
+                            pad_x0, pad_x1, pad_y0, pad_y1):
+    """The reference's CPU fallback (op/upfirdn2d.py:171-212), reproduced
+    numerically with torch ops for golden comparison."""
+    _, channel, in_h, in_w = input.shape
+    input = input.reshape(-1, in_h, in_w, 1)
+    _, in_h, in_w, minor = input.shape
+    kernel_h, kernel_w = kernel.shape
+
+    out = input.view(-1, in_h, 1, in_w, 1, minor)
+    out = torch.nn.functional.pad(out, [0, 0, 0, up_x - 1, 0, 0, 0, up_y - 1])
+    out = out.view(-1, in_h * up_y, in_w * up_x, minor)
+
+    out = torch.nn.functional.pad(
+        out, [0, 0, max(pad_x0, 0), max(pad_x1, 0), max(pad_y0, 0), max(pad_y1, 0)])
+    out = out[:, max(-pad_y0, 0): out.shape[1] - max(-pad_y1, 0),
+              max(-pad_x0, 0): out.shape[2] - max(-pad_x1, 0), :]
+
+    out = out.permute(0, 3, 1, 2)
+    out = out.reshape([-1, 1, in_h * up_y + pad_y0 + pad_y1,
+                       in_w * up_x + pad_x0 + pad_x1])
+    w = torch.flip(kernel, [0, 1]).view(1, 1, kernel_h, kernel_w)
+    out = torch.nn.functional.conv2d(out, w)
+    out = out.reshape(-1, minor, in_h * up_y + pad_y0 + pad_y1 - kernel_h + 1,
+                      in_w * up_x + pad_x0 + pad_x1 - kernel_w + 1)
+    out = out.permute(0, 2, 3, 1)
+    out = out[:, ::down_y, ::down_x, :]
+    return out.reshape(-1, channel, out.shape[1], out.shape[2])
+
+
+@pytest.mark.parametrize("up,down,pad", [(1, 1, (1, 1)), (2, 1, (2, 1)),
+                                         (1, 2, (1, 1))])
+def test_upfirdn2d_parity(rng, up, down, pad):
+    from buddy_tpu.ops.resample import upfirdn2d
+
+    x = rng.standard_normal((2, 3, 8, 10)).astype(np.float32)  # NCHW
+    k = np.outer([1, 3, 3, 1], [1, 3, 3, 1]).astype(np.float32) / 64
+
+    ref = _torch_upfirdn2d_native(torch.from_numpy(x), torch.from_numpy(k),
+                                  up, up, down, down,
+                                  pad[0], pad[1], pad[0], pad[1]).numpy()
+    x_nhwc = jnp.asarray(x.transpose(0, 2, 3, 1))
+    out = upfirdn2d(x_nhwc, jnp.asarray(k), up=up, down=down, pad=pad)
+    out = np.asarray(out).transpose(0, 3, 1, 2)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_fir_upsample_downsample_roundtrip(rng):
+    """FIR up then down recovers a smooth signal approximately."""
+    from buddy_tpu.ops.resample import upsample_2d, downsample_2d
+
+    x = jnp.asarray(np.ones((1, 8, 8, 4), np.float32))
+    u = upsample_2d(x)
+    assert u.shape == (1, 16, 16, 4)
+    d = downsample_2d(u)
+    assert d.shape == (1, 8, 8, 4)
+    np.testing.assert_allclose(np.asarray(d)[0, 2:-2, 2:-2], 1.0, atol=1e-3)

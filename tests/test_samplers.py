@@ -59,7 +59,7 @@ def test_unconditional_gaussian_statistics():
     sampler = EulerHeunSampler(model=None, diff_params=edm, args=args)
 
     # optimal denoiser: E[x0|xt] = s^2/(s^2+t^2) * xt
-    def analytic_denoise(x, t):
+    def analytic_denoise(x, t, params=()):
         t = jnp.asarray(t).reshape(-1, *([1] * (x.ndim - 1)))
         return s ** 2 / (s ** 2 + t ** 2) * x
 
