@@ -46,7 +46,10 @@ def main():
     edm = EDM(sde_hp=dict(args["diff_params"]["sde_hp"]))
     network = NetworkBundle(module)
     x0 = jnp.zeros((1, 1, AUDIO_LEN), jnp.float32)
+    print("bench: init network...", file=sys.stderr, flush=True)
     network.init(jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.float32))
+    print(f"bench: network ready ({network.num_params/1e6:.1f}M params, "
+          f"{time.time()-t_setup:.0f}s)", file=sys.stderr, flush=True)
 
     # --- score-net ms/step ------------------------------------------------
     sampler_edm = instantiate(args["diff_params"])
@@ -58,7 +61,10 @@ def main():
 
     x = jax.random.normal(jax.random.PRNGKey(1), (1, AUDIO_LEN)) * 0.05
     sig = jnp.asarray([0.1], jnp.float32)
+    print("bench: compiling denoiser...", file=sys.stderr, flush=True)
     denoise(network.params, x, sig).block_until_ready()  # compile
+    print(f"bench: denoiser compiled ({time.time()-t_setup:.0f}s)",
+          file=sys.stderr, flush=True)
     n_rep = 10
     t0 = time.perf_counter()
     for _ in range(n_rep):
@@ -83,8 +89,11 @@ def main():
     ref_op.update_params(jnp.asarray(rir))
     y = ref_op.degradation(jnp.asarray(seg)[None, :])
 
+    print("bench: initializing blind operator...", file=sys.stderr, flush=True)
     blind_op = BlindSubbandFiltering(op_hp, sample_rate=SR)
     blind_op.reset(jax.random.PRNGKey(3))
+    print(f"bench: operator ready ({time.time()-t_setup:.0f}s); compiling "
+          f"blind program...", file=sys.stderr, flush=True)
 
     def run_once(key):
         pred = sampler.predict_conditional(y, blind_op, shape=(1, AUDIO_LEN),

@@ -83,8 +83,33 @@ def load_torch_checkpoint(path: str, *, prefer_ema: bool = True,
     state = torch.load(path, map_location="cpu", weights_only=False)
     it = int(state.get("it", 0)) if isinstance(state, dict) else 0
     if isinstance(state, dict):
-        for key in (("ema", "network", "model") if prefer_ema else ("network", "model", "ema")):
-            if key in state and isinstance(state[key], dict):
-                state = state[key]
-                break
+        # legacy format: {'model': state_dict, 'ema_weights': [tensors]}
+        # zipped by key order (tester.py:78-93 / training_utils.py:88-130)
+        if prefer_ema and "ema" not in state and "ema_weights" in state \
+                and "model" in state:
+            model_sd = state["model"]
+            ema_w = state["ema_weights"]
+            if len(ema_w) == len(model_sd):
+                state = {k: w for k, w in zip(model_sd.keys(), ema_w)}
+            else:  # ema covers trainable tensors only (requires_grad filter)
+                merged, i = {}, 0
+                for k, tensor in model_sd.items():
+                    if tensor.requires_grad and i < len(ema_w):
+                        merged[k] = ema_w[i]
+                        i += 1
+                    else:
+                        merged[k] = tensor
+                state = merged
+        else:
+            for key in (("ema", "network", "model") if prefer_ema
+                        else ("network", "model", "ema")):
+                if key in state and isinstance(state[key], dict):
+                    state = state[key]
+                    break
+        # strip 'diffusion.'/'diffusion_ema.' prefixes (training_utils.py:131-178)
+        if any(k.startswith(("diffusion.", "diffusion_ema.")) for k in state):
+            pref = "diffusion_ema." if prefer_ema and any(
+                k.startswith("diffusion_ema.") for k in state) else "diffusion."
+            state = {k[len(pref):]: v for k, v in state.items()
+                     if k.startswith(pref)}
     return convert_torch_state_dict(state, wrap_time=wrap_time), it

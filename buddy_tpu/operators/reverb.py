@@ -23,6 +23,8 @@ class OperatorSTFT:
     center=True, constant padding, hop=hop."""
 
     def __init__(self, op_hp, sample_rate: int = 16000):
+        import numpy as np
+
         self.sample_rate = sample_rate
         self.n_fft = int(op_hp["NFFT"])
         self.win_length = int(op_hp["win_length"])
@@ -33,12 +35,15 @@ class OperatorSTFT:
             raise NotImplementedError(f"window type {op_hp['window']} not implemented")
         assert self.hop_length <= self.win_length / 4, \
             "hop length must be less than 1/4 of win_length to avoid temporal aliasing"
-        self.window = hann_window(self.win_length)
-        self.window_padded = jnp.pad(self.window, (0, self.n_fft - self.win_length))
-        self.win_energy_sqrt = jnp.sqrt(jnp.sum(self.window_padded ** 2))
-        import numpy as np
-        self.freqs = jnp.asarray(
-            np.fft.rfftfreq(self.n_fft, d=1.0 / sample_rate), jnp.float32)
+        # constants kept as numpy — no eager device ops at construction;
+        # they embed as literals when traced into jitted programs
+        k = np.arange(self.win_length)
+        w = (0.5 * (1.0 - np.cos(2.0 * np.pi * k / self.win_length))).astype(np.float32)
+        wp = np.pad(w, (0, self.n_fft - self.win_length))
+        self.window = w
+        self.window_padded = wp
+        self.win_energy_sqrt = np.float32(np.sqrt(np.sum(wp.astype(np.float64) ** 2)))
+        self.freqs = np.fft.rfftfreq(self.n_fft, d=1.0 / sample_rate).astype(np.float32)
 
     def stft(self, x: jax.Array) -> jax.Array:
         return jstft(x, self.window_padded, n_fft=self.n_fft,

@@ -193,12 +193,20 @@ class BlindSubbandFiltering(SubbandFiltering):
     # ------------------------------------------------------------------
     # filter design (pure functions of the param pytree)
     # ------------------------------------------------------------------
-    def _compute_direct_path_mag_correction(self) -> jax.Array:
-        """|STFT| of a scaled unit impulse (subband_filtering.py:206-210)."""
-        h = jnp.zeros((self.hop_length * int(self.op_hp["Nf"]),), jnp.float32)
-        h = h.at[0].set(self.win_length / (self.hop_length * 2))
-        H = self.stft(h)
-        return jnp.abs(H[:, 1:])
+    def _compute_direct_path_mag_correction(self) -> np.ndarray:
+        """|STFT| of a scaled unit impulse (subband_filtering.py:206-210).
+
+        Computed in numpy — a construction-time constant, not a device op.
+        """
+        h = np.zeros((self.hop_length * int(self.op_hp["Nf"]),), np.float32)
+        h[0] = self.win_length / (self.hop_length * 2)
+        pad = self.n_fft // 2
+        xp = np.pad(h, (pad, pad))
+        n_frames = 1 + (len(xp) - self.n_fft) // self.hop_length
+        idx = (np.arange(n_frames)[:, None] * self.hop_length
+               + np.arange(self.n_fft)[None, :])
+        H = np.fft.rfft(xp[idx] * np.asarray(self.window_padded), axis=-1).T
+        return np.abs(H[:, 1:]).astype(np.float32)
 
     def _compute_ola_factors(self) -> np.ndarray:
         """First-K-frame OLA correction factors (subband_filtering.py:212-222)."""
@@ -297,10 +305,19 @@ class BlindSubbandFiltering(SubbandFiltering):
     def reset(self, rng: jax.Array) -> None:
         """Fresh per-utterance state: config-init decay/weights + noise-
         coherent phases (what the reference gets by constructing a new
-        operator per file, tester.py:149-151)."""
+        operator per file, tester.py:149-151).  Jitted as one program —
+        eager op-by-op dispatch is pathological over a remote-compile TPU
+        tunnel."""
+        if not hasattr(self, "_reset_jit"):
+            def _reset(rng, params):
+                k2 = rng
+                A = self.design_filter(params)
+                H = A * jnp.exp(1j * self.get_noise_phases(k2))
+                H = self.cons(H, length=self.length_rir)
+                return dict(params, phases=jnp.angle(H)), H
+            self._reset_jit = jax.jit(_reset)
         k1, k2 = jax.random.split(rng)
-        self.params = self.init_params(k1)
-        self.noise_coherent_init(k2)
+        self.params, self.H = self._reset_jit(k2, self.init_params(k1))
 
     def update_params(self, params_dict) -> None:
         """Reset decay/weights from T60 breakpoints (subband_filtering.py:287-296)."""

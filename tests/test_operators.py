@@ -22,47 +22,9 @@ import jax.numpy as jnp
 REF = "/root/reference"
 
 
-def _install_torchcde_stub():
-    if "torchcde" in sys.modules:
-        return
-    mod = types.ModuleType("torchcde")
-
-    def linear_interpolation_coeffs(x):
-        return x
-
-    class LinearInterpolation:
-        def __init__(self, coeffs, t=None):
-            self.coeffs = coeffs.detach().cpu().numpy()
-            self.t = t.detach().cpu().numpy()
-
-        def evaluate(self, points):
-            pts = points.detach().cpu().numpy()
-            B, K, C = self.coeffs.shape
-            out = np.empty((B, len(pts), C), dtype=self.coeffs.dtype)
-            for b in range(B):
-                for c in range(C):
-                    out[b, :, c] = np.interp(pts, self.t, self.coeffs[b, :, c])
-            return torch.from_numpy(out)
-
-    mod.linear_interpolation_coeffs = linear_interpolation_coeffs
-    mod.LinearInterpolation = LinearInterpolation
-    sys.modules["torchcde"] = mod
-
-
-def _install_import_stubs():
-    """The reference's utils.log pulls plotly/soundfile/pandas (absent here);
-    stub them — the operator code under test never touches them."""
-    for name in ("plotly", "plotly.express", "plotly.graph_objects",
-                 "soundfile", "pandas"):
-        if name not in sys.modules:
-            sys.modules[name] = types.ModuleType(name)
-
-
 def _ref_modules():
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    _install_torchcde_stub()
-    _install_import_stubs()
+    from ref_stubs import ref_path
+    ref_path()
     from testing.operators.subband_filtering import SubbandFiltering, BlindSubbandFiltering
     from testing.operators.reverb import RIROperator
     return SubbandFiltering, BlindSubbandFiltering, RIROperator
