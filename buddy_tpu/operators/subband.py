@@ -147,7 +147,7 @@ class BlindSubbandFiltering(SubbandFiltering):
         hp = op_hp
         self.Amin = float(hp["Amin"])
         self.Amax = float(hp["Amax"])
-        self.EQ_freqs = jnp.asarray(hp["EQ_freqs"], jnp.float32)
+        self.EQ_freqs = np.asarray(hp["EQ_freqs"], np.float32)
         self.fix_EQ_extremes = bool(hp["fix_EQ_extremes"])
         self.num_bands = len(hp["EQ_freqs"]) - (2 if self.fix_EQ_extremes else 0)
         self.minimum_phase = bool(hp.get("minimum_phase", True))
@@ -171,7 +171,7 @@ class BlindSubbandFiltering(SubbandFiltering):
     # ------------------------------------------------------------------
     # parameter pytree
     # ------------------------------------------------------------------
-    def init_params(self, rng: jax.Array) -> Dict[str, jax.Array]:
+    def _init_decay_weights(self):
         hp = self.op_hp
         if hp["init_single_value"]:
             T60 = np.asarray([[t] * self.num_bands for t in hp["init_params"]["T60_breakpoints"]])
@@ -181,14 +181,14 @@ class BlindSubbandFiltering(SubbandFiltering):
             wts = np.asarray(hp["init_params"]["multiexp_weighting"])
         decay = 6.908 / (T60 * (self.sample_rate / self.hop_length))
         assert wts.shape == decay.shape
+        return decay.astype(np.float32), wts.astype(np.float32)
+
+    def init_params(self, rng: jax.Array) -> Dict[str, jax.Array]:
+        decay, wts = self._init_decay_weights()
         phases = jax.random.uniform(
             rng, (self.n_fft // 2 + 1, self.Nf), jnp.float32,
             minval=-np.pi, maxval=np.pi)
-        return {
-            "decay": jnp.asarray(decay, jnp.float32),
-            "weights": jnp.asarray(wts, jnp.float32),
-            "phases": phases,
-        }
+        return {"decay": decay, "weights": wts, "phases": phases}
 
     # ------------------------------------------------------------------
     # filter design (pure functions of the param pytree)
@@ -310,14 +310,15 @@ class BlindSubbandFiltering(SubbandFiltering):
         tunnel."""
         if not hasattr(self, "_reset_jit"):
             def _reset(rng, params):
-                k2 = rng
                 A = self.design_filter(params)
-                H = A * jnp.exp(1j * self.get_noise_phases(k2))
+                H = A * jnp.exp(1j * self.get_noise_phases(rng))
                 H = self.cons(H, length=self.length_rir)
                 return dict(params, phases=jnp.angle(H)), H
             self._reset_jit = jax.jit(_reset)
-        k1, k2 = jax.random.split(rng)
-        self.params, self.H = self._reset_jit(k2, self.init_params(k1))
+        decay, wts = self._init_decay_weights()
+        params0 = {"decay": decay, "weights": wts,
+                   "phases": np.zeros((self.n_fft // 2 + 1, self.Nf), np.float32)}
+        self.params, self.H = self._reset_jit(rng, params0)
 
     def update_params(self, params_dict) -> None:
         """Reset decay/weights from T60 breakpoints (subband_filtering.py:287-296)."""
