@@ -17,7 +17,20 @@ class NetworkBundle:
         return self.module.apply(self.params, x, cnoise)
 
     def init(self, rng, x, cnoise):
-        self.params = self.module.init(rng, x, cnoise)
+        # Initialize on the host CPU backend: the init program is traced and
+        # compiled like any jit, and compiling the full U-Net graph over a
+        # remote TPU tunnel costs minutes for a one-off that pure CPU does in
+        # seconds.  Params transfer to the accelerator at first use.
+        import jax
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                self.params = self.module.init(rng, x, cnoise)
+        else:
+            self.params = self.module.init(rng, x, cnoise)
         return self.params
 
     @property

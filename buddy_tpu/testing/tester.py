@@ -95,6 +95,54 @@ class Tester:
         b = self.bucket
         return ((n + b - 1) // b) * b if b > 0 else n
 
+    # ------------------------------------------------------------------
+    # chunked-STFT inference for long utterances (BASELINE config 5)
+    # ------------------------------------------------------------------
+    def _predict_chunked(self, y, operator, blind: bool, n: int):
+        """Overlap-add chunked guided sampling.
+
+        Utterances beyond ``tester.chunked.threshold`` samples are processed
+        in fixed-size chunks with hann-crossfaded overlap — one compiled
+        program regardless of utterance length.  In blind mode the subband
+        filter is estimated on the FIRST chunk and reused (informed-subband
+        mode) for the rest: the RIR is a global property of the room, so
+        re-estimating per chunk wastes compute and risks inconsistency.
+        """
+        ccfg = self.args["tester"].get("chunked", {})
+        cs = int(ccfg.get("chunk_size", 131072))
+        ov = int(ccfg.get("overlap", 16384))
+        hop = cs - ov
+        n_chunks = max(1, int(np.ceil(max(n - ov, 1) / hop)))
+        total = (n_chunks - 1) * hop + cs
+
+        y_np = np.zeros((y.shape[0], total), np.float32)
+        y_np[:, :n] = np.asarray(y)[:, :n]
+
+        ramp = 0.5 * (1 - np.cos(np.pi * np.arange(ov) / ov)) if ov > 0 else None
+        window = np.ones(cs, np.float32)
+        if ov > 0:
+            window[:ov] = ramp
+            window[-ov:] = ramp[::-1]
+
+        out = np.zeros(total, np.float32)
+        wsum = np.zeros(total, np.float32)
+        for c in range(n_chunks):
+            start = c * hop
+            y_c = jnp.asarray(y_np[:, start:start + cs])
+            self.rng, k = jax.random.split(self.rng)
+            chunk_blind = blind and c == 0
+            pred_c = np.asarray(self.sampler.predict_conditional(
+                y_c, operator, shape=(1, cs), blind=chunk_blind, rng=k))[0]
+            w = window.copy()
+            if c == 0:
+                w[:ov] = 1.0       # no left neighbor
+            if c == n_chunks - 1:
+                w[-ov:] = 1.0 if n_chunks == 1 else w[-ov:]
+            out[start:start + cs] += pred_c * w
+            wsum[start:start + cs] += w
+        out = out / np.maximum(wsum, 1e-8)
+        return out[None, :n]
+
     def test_dereverberation(self, mode, blind=False):
         if self.test_set is None:
             print("No test set specified")
@@ -145,10 +193,14 @@ class Tester:
             else:
                 operator = operator_ref
 
-            self.rng, k_pred = jax.random.split(self.rng)
-            pred = self.sampler.predict_conditional(
-                y_padded, operator, shape=(1, n_pad), blind=blind, rng=k_pred)
-            pred = np.asarray(pred)[..., :n]
+            chunk_threshold = int(tcfg.get("chunked", {}).get("threshold", 163840))
+            if n > chunk_threshold:
+                pred = self._predict_chunked(y, operator, blind, n)
+            else:
+                self.rng, k_pred = jax.random.split(self.rng)
+                pred = self.sampler.predict_conditional(
+                    y_padded, operator, shape=(1, n_pad), blind=blind, rng=k_pred)
+                pred = np.asarray(pred)[..., :n]
 
             base = os.path.basename(filename)[:-4]
             fs = exp["sample_rate"]

@@ -92,6 +92,9 @@ class Trainer:
 
         self.total_params = self.network.num_params
         print("total_params: ", self.total_params / 1e6, "M")
+        if args["logging"].get("print_model_summary", False):
+            from buddy_tpu.utils.summary import print_model_summary
+            print_model_summary(jax.device_get(self.network.params))
 
         # sigma bins for loss-vs-sigma logging (trainer.py:104-105)
         log_cfg = args["logging"]
