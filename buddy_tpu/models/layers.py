@@ -63,15 +63,25 @@ class GroupNormAct(nn.Module):
             return fused_group_norm_act(
                 x, scale, bias, num_groups=self.num_groups,
                 epsilon=self.epsilon, act=("silu" if self.act is jax.nn.silu else None))
-        # group over contiguous channel blocks (torch GroupNorm semantics)
+        # Group over contiguous channel blocks (torch GroupNorm semantics),
+        # computed from per-channel moments: reductions stay in the native
+        # NHWC layout and only the tiny (B, C) stats get reshaped to groups.
+        # (Reshaping the full tensor to (..., G, C/G) forces a relayout with
+        # a 4-wide lane dim on TPU — catastrophic for every GN in the net.)
         g = self.num_groups
-        shape = x.shape
-        xg = x.reshape(shape[:-1] + (g, c // g))
-        axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
-        mean = xg.mean(axis=axes, keepdims=True)
-        var = xg.var(axis=axes, keepdims=True)
-        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
-        out = xg.reshape(shape) * scale + bias
+        spatial_axes = tuple(range(1, x.ndim - 1))
+        m_c = jnp.mean(x, axis=spatial_axes)             # (B, C)
+        m2_c = jnp.mean(x * x, axis=spatial_axes)        # (B, C)
+        m_g = m_c.reshape(-1, g, c // g).mean(-1)        # (B, G)
+        m2_g = m2_c.reshape(-1, g, c // g).mean(-1)
+        var_g = m2_g - m_g * m_g
+        inv_g = jax.lax.rsqrt(var_g + self.epsilon)
+        inv_c = jnp.repeat(inv_g, c // g, axis=-1)       # (B, C)
+        mean_c = jnp.repeat(m_g, c // g, axis=-1)
+        a = inv_c * scale[None, :]
+        b = bias[None, :] - mean_c * a
+        bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)
+        out = x * a.reshape(bshape) + b.reshape(bshape)
         if self.act is not None:
             out = self.act(out)
         return out

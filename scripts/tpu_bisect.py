@@ -103,3 +103,31 @@ if which in ("all2", "step", "scan"):
                                 op_params, op.H)
         sampler.T = 2
         step("scan_T2", lambda: jax.jit(scan2)(network.params, y, jax.random.PRNGKey(3)))
+
+if which in ("scan_nowpe", "scan_reverb"):
+    from buddy_tpu.models import NetworkBundle
+    from buddy_tpu.diffusion.edm import EDM
+    from buddy_tpu.sampling.dps import EulerHeunSamplerDPS
+
+    mode = "none" if which == "scan_nowpe" else "reverb_scaled"
+    args["tester"]["posterior_sampling"]["warm_initialization"]["mode"] = mode
+
+    module = instantiate(args["network"])
+    edm = EDM(sde_hp=dict(args["tester"]["sampling_params"]["sde_hp"]))
+    network = NetworkBundle(module)
+    x0 = jnp.zeros((1, 1, AUDIO_LEN), jnp.float32)
+    network.init(jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.float32))
+    print("network init done", flush=True)
+
+    sampler = EulerHeunSamplerDPS(network, edm, args)
+    op.reset(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((1, AUDIO_LEN)).astype(np.float32) * 0.05)
+    y = jax.jit(lambda xx, H: op.degradation(xx, H=H, mode="waveform"))(x, op.H)
+    sampler._build_losses(op, blind=True)
+    op_params = {k: jnp.asarray(v) for k, v in op.params.items()}
+
+    def scan2(net_params, y, rng):
+        return sampler._run(op, True, (1, AUDIO_LEN), net_params, y, rng,
+                            op_params, op.H)
+    sampler.T = 2
+    step(f"scan_T2_{mode}", lambda: jax.jit(scan2)(network.params, y, jax.random.PRNGKey(3)))
