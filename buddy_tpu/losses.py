@@ -71,8 +71,10 @@ def get_loss(loss_args, operator=None) -> Optional[Callable]:
         compression_factor = loss_args.get("compression_factor", None)
 
         def loss_fn(x, x_hat):
-            X = operator.apply_stft(x)
-            X_hat = operator.apply_stft(x_hat)
+            # a complex input is an already-computed STFT — callers cache the
+            # constant observation spectrum across the blind inner loop
+            X = x if jnp.iscomplexobj(x) else operator.apply_stft(x)
+            X_hat = x_hat if jnp.iscomplexobj(x_hat) else operator.apply_stft(x_hat)
             freqs = jnp.linspace(0, 1, X.shape[-2])[None, :, None] + 1
             freqs = jnp.broadcast_to(freqs, X.shape)
             w = get_frequency_weighting(freqs, freq_weighting)

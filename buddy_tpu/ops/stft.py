@@ -36,6 +36,55 @@ def hann_window(n: int, dtype=jnp.float32) -> jax.Array:
     return jnp.asarray(w, dtype=dtype)
 
 
+def _frame_polyphase(x: jax.Array, n_fft: int, hop: int, n_frames: int) -> jax.Array:
+    """Extract overlapping frames with reshapes/slices only (no gather).
+
+    Frames t = k*g + r (g = ceil(n_fft/hop)) within one phase group r are
+    spaced g*hop >= n_fft apart, i.e. non-overlapping — so each group is a
+    plain strided reshape.  Gathers serialize badly on TPU; this is pure
+    layout work.
+    """
+    g = -(-n_fft // hop)
+    span = g * hop
+    k_max = -(-n_frames // g)
+    total = (g - 1) * hop + k_max * span
+    pad = total - x.shape[-1]
+    if pad > 0:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    groups = []
+    for r in range(g):
+        seg = jax.lax.slice_in_dim(x, r * hop, r * hop + k_max * span, axis=-1)
+        seg = seg.reshape(x.shape[:-1] + (k_max, span))[..., :n_fft]
+        groups.append(seg)
+    frames = jnp.stack(groups, axis=-2)           # (..., k_max, g, n_fft)
+    frames = frames.reshape(x.shape[:-1] + (k_max * g, n_fft))
+    return frames[..., :n_frames, :]
+
+
+def _overlap_add_polyphase(frames: jax.Array, n_fft: int, hop: int) -> jax.Array:
+    """Inverse of _frame_polyphase: overlap-add with slice-adds (no scatter)."""
+    n_frames = frames.shape[-2]
+    g = -(-n_fft // hop)
+    span = g * hop
+    k_max = -(-n_frames // g)
+    if k_max * g != n_frames:
+        frames = jnp.pad(frames, [(0, 0)] * (frames.ndim - 2)
+                         + [(0, k_max * g - n_frames), (0, 0)])
+    fr = frames.reshape(frames.shape[:-2] + (k_max, g, n_fft))
+    if span > n_fft:
+        fr = jnp.pad(fr, [(0, 0)] * (fr.ndim - 1) + [(0, span - n_fft)])
+    total = (g - 1) * hop + k_max * span
+    out = jnp.zeros(frames.shape[:-2] + (total,), frames.dtype)
+    for r in range(g):
+        flat = fr[..., :, r, :].reshape(frames.shape[:-2] + (k_max * span,))
+        out = jax.lax.dynamic_update_slice_in_dim(
+            out, jax.lax.dynamic_slice_in_dim(out, r * hop, k_max * span, axis=-1)
+            + flat, r * hop, axis=-1)
+    # valid OLA length for n_frames frames:
+    ola_len = n_fft + hop * (n_frames - 1)
+    return out[..., :ola_len]
+
+
 @functools.partial(jax.jit, static_argnames=("n_fft", "hop_length", "center", "pad_mode"))
 def stft(
     x: jax.Array,
@@ -61,8 +110,7 @@ def stft(
         x = jnp.pad(x, pad_widths, mode=pad_mode)
     length = x.shape[-1]
     n_frames = 1 + (length - n_fft) // hop_length
-    idx = np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
-    frames = x[..., idx]  # (..., n_frames, n_fft)
+    frames = _frame_polyphase(x, n_fft, hop_length, n_frames)
     spec = jnp.fft.rfft(frames * window, axis=-1)
     return jnp.swapaxes(spec, -1, -2)  # (..., F, n_frames)
 
@@ -93,12 +141,11 @@ def istft(
     n_frames = frames.shape[-2]
     ola_len = n_fft + hop_length * (n_frames - 1)
 
-    idx = np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
-    y = jnp.zeros(frames.shape[:-2] + (ola_len,), dtype=frames.dtype)
-    y = y.at[..., idx].add(frames)
+    y = _overlap_add_polyphase(frames, n_fft, hop_length)
 
-    env = jnp.zeros((ola_len,), dtype=frames.dtype)
-    env = env.at[idx.reshape(-1)].add(jnp.tile(window * window, n_frames))
+    # window-squared envelope (constant-folds when the window is a literal)
+    wsq = jnp.broadcast_to(window * window, (n_frames, n_fft))
+    env = _overlap_add_polyphase(wsq, n_fft, hop_length)
     # torch.istft asserts the envelope is nonzero over the output region; we
     # guard the division the same way its kernel does (tiny-envelope -> skip).
     y = y / jnp.where(env > 1e-11, env, 1.0)

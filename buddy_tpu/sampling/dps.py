@@ -48,6 +48,7 @@ class EulerHeunSamplerDPS(EulerHeunSampler):
         self.ps = ps
         self.zeta = float(ps["zeta"])
         self.audio_len = int(args["exp"]["audio_len"])
+        self.y_stft = None
 
     # ------------------------------------------------------------------
     # warm initialization (EulerHeunSamplerDPS.py:25-59)
@@ -96,7 +97,9 @@ class EulerHeunSamplerDPS(EulerHeunSampler):
         """Inner loop: op_updates_per_step Adam updates of the subband filter
         (EulerHeunSamplerDPS.py:71-113).  Returns the params, the optimizer
         state, the last-computed H, and the advanced rng."""
-        y = self.y
+        # the observation spectrum is constant across all inner updates —
+        # cache it instead of re-STFTing y 10x per diffusion step
+        y = self.y_stft if self.y_stft is not None else self.y
         n_updates = int(self.ps["blind_hp"]["op_updates_per_step"])
         t_op = jnp.clip(t_hat, self.reg_sigma_min, self.reg_sigma_max) \
             if self.reg_loss is not None else None
@@ -126,8 +129,10 @@ class EulerHeunSamplerDPS(EulerHeunSampler):
 
     def _likelihood_score(self, x_den, vjp_fn, degrade):
         """zeta-normalized DPS guidance (EulerHeunSamplerDPS.py:61-69)."""
+        y_ref = self.y_stft if self.y_stft is not None else self.y
+
         def rec_of_xden(xd):
-            return self.rec_loss(self.y, degrade(xd))
+            return self.rec_loss(y_ref, degrade(xd))
         rec, g_xden = jax.value_and_grad(rec_of_xden)(x_den)
         rec_grads = vjp_fn(g_xden)[0]
         normguide = jnp.linalg.norm(rec_grads) / (self.audio_len ** 0.5)
@@ -206,6 +211,8 @@ class EulerHeunSamplerDPS(EulerHeunSampler):
         inputs (NOT closure-baked) so per-utterance operator state never
         retriggers compilation."""
         self.y = y
+        self.y_stft = (operator.apply_stft(y)
+                       if hasattr(operator, "apply_stft") else None)
         t = self.create_schedule()
         gamma = self.get_gamma(t)
         rng, k_init = jax.random.split(rng)
