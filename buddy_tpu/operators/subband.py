@@ -308,17 +308,31 @@ class BlindSubbandFiltering(SubbandFiltering):
         operator per file, tester.py:149-151).  Jitted as one program —
         eager op-by-op dispatch is pathological over a remote-compile TPU
         tunnel."""
+        self.params, self.H = self._get_reset_jit()(rng, self._init_template())
+
+    def _reset_fn(self, rng, params):
+        A = self.design_filter(params)
+        H = A * jnp.exp(1j * self.get_noise_phases(rng))
+        H = self.cons(H, length=self.length_rir)
+        return dict(params, phases=jnp.angle(H)), H
+
+    def _get_reset_jit(self):
         if not hasattr(self, "_reset_jit"):
-            def _reset(rng, params):
-                A = self.design_filter(params)
-                H = A * jnp.exp(1j * self.get_noise_phases(rng))
-                H = self.cons(H, length=self.length_rir)
-                return dict(params, phases=jnp.angle(H)), H
-            self._reset_jit = jax.jit(_reset)
+            self._reset_jit = jax.jit(self._reset_fn)
+        return self._reset_jit
+
+    def _init_template(self):
         decay, wts = self._init_decay_weights()
-        params0 = {"decay": decay, "weights": wts,
-                   "phases": np.zeros((self.n_fft // 2 + 1, self.Nf), np.float32)}
-        self.params, self.H = self._reset_jit(rng, params0)
+        return {"decay": decay, "weights": wts,
+                "phases": np.zeros((self.n_fft // 2 + 1, self.Nf), np.float32)}
+
+    def reset_batched(self, rng: jax.Array, batch: int):
+        """Per-utterance fresh state for a batch: (params pytree with leading
+        batch axis, H (B, F, Nf)) — feeds predict_conditional_batched."""
+        keys = jax.random.split(rng, batch)
+        if not hasattr(self, "_reset_vjit"):
+            self._reset_vjit = jax.jit(jax.vmap(self._reset_fn, in_axes=(0, None)))
+        return self._reset_vjit(keys, self._init_template())
 
     def update_params(self, params_dict) -> None:
         """Reset decay/weights from T60 breakpoints (subband_filtering.py:287-296)."""

@@ -267,5 +267,48 @@ class EulerHeunSamplerDPS(EulerHeunSampler):
             operator.H = H
         return x_den
 
+    def predict_conditional_batched(self, ys, operator, blind=False, rng=None,
+                                    op_params_batch=None, H_batch=None):
+        """Batched guided sampling over B utterances at once (BASELINE
+        config 5: batched full-test-set dereverb).
+
+        ``ys``: (B, 1, n) observations (same bucket length).  In blind mode
+        each utterance carries its own operator parameter pytree / initial H
+        (leading batch axis); the whole batch runs as one vmapped program —
+        B utterances cost ~one utterance of wall time until the chip
+        saturates.  Returns (B, 1, n) denoised estimates.
+        """
+        self._build_losses(operator, blind)
+        self.operator = operator
+        B = ys.shape[0]
+        shape = tuple(ys.shape[1:])
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        rngs = jax.random.split(rng, B)
+
+        if blind:
+            assert op_params_batch is not None and H_batch is not None
+        else:
+            op_params_batch = {}
+            if hasattr(operator, "subband_filtering"):
+                assert H_batch is not None
+            else:
+                H_batch = jnp.broadcast_to(operator.params,
+                                           (B,) + operator.params.shape)
+
+        key = ("dps_batched", blind, B, shape,
+               ("sub", operator.n_fft, operator.Nf)
+               if hasattr(operator, "subband_filtering")
+               else ("rir", H_batch.shape[-1]))
+        if key not in self._jit_cache:
+            run = partial(self._run, operator, blind, shape)
+            self._jit_cache[key] = jax.jit(
+                jax.vmap(run, in_axes=(None, 0, 0, 0, 0)))
+        x, x_den, op_params, H = self._jit_cache[key](
+            self.net_params(), ys, rngs, op_params_batch, H_batch)
+        if blind:
+            operator.params = op_params  # batched final params
+            operator.H = H
+        return x_den
+
     def predict_unconditional(self, *args, **kwargs):
         raise ValueError("DPS not made for unconditional sampling")

@@ -192,3 +192,54 @@ def test_wpe_reduces_reverb(rng):
     err_before = np.mean((y - x) ** 2)
     err_after = np.mean((z - x) ** 2)
     assert err_after < err_before
+
+
+def test_blind_batched_matches_single(rng):
+    """predict_conditional_batched(B=2) == two single runs with the same
+    per-item rngs and operator inits (vmap correctness)."""
+    from buddy_tpu.config import ConfigDict
+    from buddy_tpu.operators.subband import BlindSubbandFiltering
+    from test_blind_parity import make_blind_args
+
+    op_hp = ConfigDict({
+        "fix_EQ_extremes": True, "NFFT": 256, "win_length": 128, "hop": 32,
+        "window": "hann", "Nf": 20,
+        "EQ_freqs": [0, 500, 1000, 2000, 3000, 4000, 5000, 6000, 7000, 8000],
+        "init_single_value": True,
+        "init_params": {"T60_breakpoints": [0.1], "multiexp_weighting": [2]},
+        "init_phases": "random_coherent", "minimum_phase": True,
+        "fix_direct_path": True, "num_GL_iter": 1, "cumulative_decays": False,
+        "decay_scale": 1, "Amin": 0, "Amax": 40, "T60min": 0.1, "T60max": 2,
+        "clamp_A": True, "clamp_decay": True, "strictly_decreasing_decay": False,
+        "enforce_long_decay_in_second_exponential": True, "n_iter_PR": 5,
+    })
+    args = make_blind_args(op_updates=2)
+    args.tester.sampling_params.T = 2
+    args.exp.audio_len = 2048
+
+    op = BlindSubbandFiltering(op_hp, sample_rate=16000)
+    edm = EDM(sde_hp=dict(args.tester.sampling_params.sde_hp))
+
+    xs = rng.standard_normal((2, 1, 2048)).astype(np.float32) * 0.05
+    params_b, H_b = op.reset_batched(jax.random.PRNGKey(9), 2)
+    ys = jax.vmap(lambda x, H: op.degradation(x, H=H, mode="waveform"))(
+        jnp.asarray(xs), H_b)
+
+    key = jax.random.PRNGKey(11)
+    keys = jax.random.split(key, 2)
+
+    sampler_b = EulerHeunSamplerDPS(model=_jax_mock_net, diff_params=edm, args=args)
+    preds_b = np.asarray(sampler_b.predict_conditional_batched(
+        ys, op, blind=True, rng=key, op_params_batch=params_b, H_batch=H_b))
+
+    preds_s = []
+    for i in range(2):
+        sampler = EulerHeunSamplerDPS(model=_jax_mock_net, diff_params=edm, args=args)
+        op.params = {k: v[i] for k, v in params_b.items()}
+        op.H = H_b[i]
+        preds_s.append(np.asarray(sampler.predict_conditional(
+            ys[i], op, shape=(1, 2048), blind=True, rng=keys[i])))
+    preds_s = np.stack(preds_s)
+
+    assert preds_b.shape == preds_s.shape
+    np.testing.assert_allclose(preds_b, preds_s, atol=1e-4)
