@@ -27,13 +27,18 @@ class NetworkBundle:
         except RuntimeError:
             cpu = None
         if cpu is not None:
-            with jax.default_device(cpu):
+            try:
+                with jax.default_device(cpu):
+                    self.params = self.module.init(rng, x, cnoise)
+                # pin to the accelerator: params left on the host would be
+                # re-transferred on every apply (111 MB/call over the tunnel)
+                default = jax.devices()[0]
+                if default != cpu:
+                    self.params = jax.device_put(self.params, default)
+            except ValueError:
+                # Pallas kernels can't lower on the CPU backend — init on the
+                # default device instead (slower one-off compile)
                 self.params = self.module.init(rng, x, cnoise)
-            # pin to the accelerator: params left on the host would be
-            # re-transferred on every apply (111 MB/call over the tunnel)
-            default = jax.devices()[0]
-            if default != cpu:
-                self.params = jax.device_put(self.params, default)
         else:
             self.params = self.module.init(rng, x, cnoise)
         return self.params

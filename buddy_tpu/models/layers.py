@@ -14,7 +14,7 @@ dimension — where the reference is NCHW.  The checkpoint converter
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -70,16 +70,17 @@ class GroupNormAct(nn.Module):
         # a 4-wide lane dim on TPU — catastrophic for every GN in the net.)
         g = self.num_groups
         spatial_axes = tuple(range(1, x.ndim - 1))
-        m_c = jnp.mean(x, axis=spatial_axes)             # (B, C)
-        m2_c = jnp.mean(x * x, axis=spatial_axes)        # (B, C)
+        # stats always in f32 (mixed-precision safe)
+        m_c = jnp.mean(x, axis=spatial_axes, dtype=jnp.float32)     # (B, C)
+        m2_c = jnp.mean(x * x, axis=spatial_axes, dtype=jnp.float32)
         m_g = m_c.reshape(-1, g, c // g).mean(-1)        # (B, G)
         m2_g = m2_c.reshape(-1, g, c // g).mean(-1)
         var_g = m2_g - m_g * m_g
         inv_g = jax.lax.rsqrt(var_g + self.epsilon)
         inv_c = jnp.repeat(inv_g, c // g, axis=-1)       # (B, C)
         mean_c = jnp.repeat(m_g, c // g, axis=-1)
-        a = inv_c * scale[None, :]
-        b = bias[None, :] - mean_c * a
+        a = (inv_c * scale[None, :]).astype(x.dtype)
+        b = (bias[None, :] - mean_c * inv_c * scale[None, :]).astype(x.dtype)
         bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)
         out = x * a.reshape(bshape) + b.reshape(bshape)
         if self.act is not None:
@@ -93,18 +94,18 @@ def group_norm(ch: int, name: str) -> GroupNormAct:
 
 
 def conv3x3(out_ch: int, *, init_scale: float = 1.0, stride: int = 1,
-            bias: bool = True, name: str) -> nn.Conv:
+            bias: bool = True, dtype=None, name: str) -> nn.Conv:
     return nn.Conv(out_ch, (3, 3), strides=(stride, stride),
                    padding=((1, 1), (1, 1)), use_bias=bias,
                    kernel_init=default_init(init_scale),
-                   bias_init=nn.initializers.zeros, name=name)
+                   bias_init=nn.initializers.zeros, dtype=dtype, name=name)
 
 
 def conv1x1(out_ch: int, *, init_scale: float = 1.0, bias: bool = True,
-            name: str) -> nn.Conv:
+            dtype=None, name: str) -> nn.Conv:
     return nn.Conv(out_ch, (1, 1), use_bias=bias,
                    kernel_init=default_init(init_scale),
-                   bias_init=nn.initializers.zeros, name=name)
+                   bias_init=nn.initializers.zeros, dtype=dtype, name=name)
 
 
 def naive_upsample_2d(x: jax.Array, factor: int = 2) -> jax.Array:
@@ -150,17 +151,18 @@ class NIN(nn.Module):
         in_dim = x.shape[-1]
         W = self.param("W", default_init(self.init_scale), (in_dim, self.num_units))
         b = self.param("b", nn.initializers.zeros, (self.num_units,))
-        return jnp.einsum("...c,cd->...d", x, W) + b
+        return jnp.einsum("...c,cd->...d", x, W.astype(x.dtype)) + b.astype(x.dtype)
 
 
 class Combine(nn.Module):
     """Combine a skip-pyramid input with the trunk (layerspp.py:44-59)."""
     dim2: int
     method: str = "cat"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, y: jax.Array) -> jax.Array:
-        h = conv1x1(self.dim2, name="Conv_0")(x)
+        h = conv1x1(self.dim2, dtype=self.dtype, name="Conv_0")(x)
         if self.method == "cat":
             return jnp.concatenate([h, y], axis=-1)
         if self.method == "sum":
@@ -269,24 +271,26 @@ class ResnetBlockDDPMpp(nn.Module):
     skip_rescale: bool = False
     init_scale: float = 0.0
     temb: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, temb=None, *, deterministic: bool = True):
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
         h = self.act(group_norm(in_ch, "GroupNorm_0")(x))
-        h = conv3x3(out_ch, name="Conv_0")(h)
+        h = conv3x3(out_ch, dtype=self.dtype, name="Conv_0")(h)
         if temb is not None:
             h = h + nn.Dense(out_ch, kernel_init=default_init(),
-                             bias_init=nn.initializers.zeros,
+                             bias_init=nn.initializers.zeros, dtype=self.dtype,
                              name="Dense_0")(self.act(temb))[:, None, None, :]
         h = self.act(group_norm(out_ch, "GroupNorm_1")(h))
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+        h = conv3x3(out_ch, init_scale=self.init_scale, dtype=self.dtype,
+                    name="Conv_1")(h)
         if in_ch != out_ch:
             if self.conv_shortcut:
-                x = conv3x3(out_ch, name="Conv_2")(x)
+                x = conv3x3(out_ch, dtype=self.dtype, name="Conv_2")(x)
             else:
                 x = NIN(out_ch, name="NIN_0")(x)
         if not self.skip_rescale:
@@ -308,6 +312,7 @@ class ResnetBlockBigGANpp(nn.Module):
     init_scale: float = 0.0
     temb: bool = True
     use_pallas: bool = False  # Pallas fused GroupNorm+SiLU on TPU
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, temb=None, *, deterministic: bool = True):
@@ -337,18 +342,19 @@ class ResnetBlockBigGANpp(nn.Module):
                 h = naive_downsample_2d(h)
                 x = naive_downsample_2d(x)
 
-        h = conv3x3(out_ch, name="Conv_0")(h)
+        h = conv3x3(out_ch, dtype=self.dtype, name="Conv_0")(h)
         if temb is not None:
             h = h + nn.Dense(out_ch, kernel_init=default_init(),
-                             bias_init=nn.initializers.zeros,
+                             bias_init=nn.initializers.zeros, dtype=self.dtype,
                              name="Dense_0")(self.act(temb))[:, None, None, :]
         h = gn_act(out_ch, "GroupNorm_1")(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+        h = conv3x3(out_ch, init_scale=self.init_scale, dtype=self.dtype,
+                    name="Conv_1")(h)
 
         if in_ch != out_ch or self.up or self.down:
-            x = conv1x1(out_ch, name="Conv_2")(x)
+            x = conv1x1(out_ch, dtype=self.dtype, name="Conv_2")(x)
 
         if not self.skip_rescale:
             return x + h

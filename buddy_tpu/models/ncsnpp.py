@@ -56,6 +56,7 @@ class NCSNpp(nn.Module):
     centered: bool = True
     discriminative: bool = False
     use_pallas: bool = False
+    compute_dtype: Any = None  # e.g. "bfloat16" mixed precision for the body
 
     def setup(self):
         act = L.get_act(self.nonlinearity)
@@ -81,10 +82,14 @@ class NCSNpp(nn.Module):
         assert self.embedding_type in ("fourier", "positional")
         combine_method = self.progressive_combine.lower()
 
+        cdtype = (jnp.dtype(self.compute_dtype)
+                  if self.compute_dtype not in (None, "none", "float32") else None)
+        self._cdtype = cdtype
+
         def ResBlock(name, *, in_ch, out_ch=None, up=False, down=False):
             common = dict(act=act, out_ch=out_ch, dropout=self.dropout,
                           init_scale=self.init_scale, skip_rescale=self.skip_rescale,
-                          temb=time_conditional, name=name)
+                          temb=time_conditional, dtype=cdtype, name=name)
             if self.resblock_type == "ddpm":
                 return L.ResnetBlockDDPMpp(**common)
             if self.resblock_type == "biggan":
@@ -123,7 +128,7 @@ class NCSNpp(nn.Module):
 
         input_pyramid_ch = total_channels
 
-        add(lambda n: L.conv3x3(nf, name=n))
+        add(lambda n: L.conv3x3(nf, dtype=cdtype, name=n))
         hs_c = [nf]
 
         in_ch = nf
@@ -143,7 +148,8 @@ class NCSNpp(nn.Module):
                 else:
                     add(lambda n, i=in_ch: ResBlock(n, in_ch=i, down=True))
                 if self.progressive_input == "input_skip":
-                    add(lambda n, o=in_ch: L.Combine(dim2=o, method=combine_method, name=n))
+                    add(lambda n, o=in_ch: L.Combine(dim2=o, method=combine_method,
+                                                     dtype=cdtype, name=n))
                     if combine_method == "cat":
                         in_ch *= 2
                 elif self.progressive_input == "residual":
@@ -170,7 +176,7 @@ class NCSNpp(nn.Module):
                 if i_level == num_resolutions - 1:
                     if self.progressive == "output_skip":
                         add(lambda n, c=in_ch: L.group_norm(c, n))
-                        add(lambda n: L.conv3x3(total_channels,
+                        add(lambda n: L.conv3x3(total_channels, dtype=cdtype,
                                                 init_scale=self.init_scale, name=n))
                         pyramid_ch = total_channels
                     elif self.progressive == "residual":
@@ -180,7 +186,7 @@ class NCSNpp(nn.Module):
                 else:
                     if self.progressive == "output_skip":
                         add(lambda n, c=in_ch: L.group_norm(c, n))
-                        add(lambda n: L.conv3x3(total_channels, bias=True,
+                        add(lambda n: L.conv3x3(total_channels, bias=True, dtype=cdtype,
                                                 init_scale=self.init_scale, name=n))
                         pyramid_ch = total_channels
                     elif self.progressive == "residual":
@@ -223,9 +229,13 @@ class NCSNpp(nn.Module):
                 xc = x[:, chan + in_chan]
                 chans.extend([xc.real, xc.imag])
         h0 = jnp.stack(chans, axis=-1)  # (B, F, T, total_channels)
+        if self._cdtype is not None:
+            h0 = h0.astype(self._cdtype)
 
         if self._time_conditional and time_cond is not None:
             temb = modules[m_idx](time_cond); m_idx += 1
+            if self._cdtype is not None:
+                temb = temb.astype(self._cdtype)
             temb = modules[m_idx](temb); m_idx += 1
             temb = modules[m_idx](act(temb)); m_idx += 1
         else:
@@ -308,6 +318,7 @@ class NCSNpp(nn.Module):
 
         assert m_idx == len(modules)
 
+        h = h.astype(jnp.float32)
         h = self.output_layer(h)  # (B, F, T, 2*spatial)
         # channels -> complex (ncsnpp.py:445-448): index r*spatial + s
         s = self.spatial_channels
