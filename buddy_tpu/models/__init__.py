@@ -37,8 +37,9 @@ class NetworkBundle:
                     self.params = jax.device_put(self.params, default)
             except ValueError:
                 # Pallas kernels can't lower on the CPU backend — init on the
-                # default device instead (slower one-off compile)
-                self.params = self.module.init(rng, x, cnoise)
+                # default device instead, under jit (eager pallas dispatch is
+                # broken on the axon backend)
+                self.params = jax.jit(self.module.init)(rng, x, cnoise)
         else:
             self.params = self.module.init(rng, x, cnoise)
         return self.params
