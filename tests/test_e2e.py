@@ -183,3 +183,33 @@ def _read(dirpath):
     from buddy_tpu.data.audio_io import read_wav
     f = [x for x in os.listdir(dirpath) if x.endswith(".wav")][0]
     return read_wav(os.path.join(dirpath, f))
+
+
+def test_tester_chunked_long_utterance(tmp_path, tiny_network):
+    """Utterances beyond tester.chunked.threshold go through overlap-add
+    chunked inference (BASELINE config 5) — one compiled program per chunk
+    size, crossfaded output of full length."""
+    from buddy_tpu.config import instantiate
+    from buddy_tpu.testing.tester import Tester
+    from buddy_tpu.data.vctk import VCTKTestPaired
+
+    args = compose_args("informed_dereverberation_DPS",
+                        ["tester.sampling_params.T=2",
+                         f"model_dir={tmp_path}",
+                         "+tester.bucket_pad=8192",
+                         "+tester.chunked.threshold=16384",
+                         "+tester.chunked.chunk_size=16384",
+                         "+tester.chunked.overlap=4096"])
+    diff_params = instantiate(args["diff_params"])
+    ds = VCTKTestPaired(fs=16000, segment_length=-1, path=AUDIO,
+                        speakers_discard=[], speakers_test=["p226"],
+                        num_examples=1, shuffle=False)
+    n_long = 40000  # > threshold -> 3 chunks
+    ds.test_audio[0] = ds.test_audio[0][:n_long]
+    ds.test_rir[0] = ds.test_rir[0][:2000]
+    t = Tester(args, tiny_network, diff_params, test_set=ds)
+    t.do_test()
+    mode = "informed_dereverberation"
+    rec, sr = _read(t.paths[mode + "reconstructed"])
+    assert rec.shape[-1] == n_long
+    assert np.isfinite(rec).all()
