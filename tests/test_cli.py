@@ -16,8 +16,19 @@ AUDIO = "/root/reference/audio_examples"
 TINY = ["network.nf=8", "network.ch_mult=[1,2]", "network.num_res_blocks=1"]
 
 
+def _load_entry(name):
+    """Import our entry module by explicit path — /root/reference (inserted
+    by ref_stubs in other tests) also has train.py/test.py on sys.path."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        f"buddy_{name}", f"/root/repo/{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def test_train_main(tmp_path):
-    import train as train_mod
+    train_mod = _load_entry("train")
 
     argv = [
         "--config-name=conf_VCTK.yaml",
