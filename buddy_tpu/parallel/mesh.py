@@ -18,6 +18,28 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed() -> bool:
+    """Initialize multi-host JAX when a coordinator is configured.
+
+    Called by train.py before any device use.  On a multi-host TPU slice the
+    launcher exports ``COORDINATOR_ADDRESS``/``NUM_PROCESSES``/``PROCESS_ID``
+    (or the TPU metadata server provides them); single-host runs skip this —
+    the same SPMD train step then spans all hosts' devices via
+    ``jax.devices()`` (DCN between hosts, ICI within).
+    """
+    addr = (jax.config.jax_coordinator_address
+            if hasattr(jax.config, "jax_coordinator_address") else None)
+    import os
+    addr = os.environ.get("COORDINATOR_ADDRESS", addr)
+    if not addr:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(os.environ.get("NUM_PROCESSES", 1)),
+        process_id=int(os.environ.get("PROCESS_ID", 0)))
+    return True
+
+
 def make_mesh(dp: int = -1, devices: Optional[Sequence] = None) -> Mesh:
     """Build a 1-D data-parallel mesh.  dp=-1 uses all available devices."""
     devices = list(devices if devices is not None else jax.devices())

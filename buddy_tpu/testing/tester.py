@@ -143,6 +143,127 @@ class Tester:
         out = out / np.maximum(wsum, 1e-8)
         return out[None, :n]
 
+    def _prepare_item(self, i, scaling):
+        """Normalize + degrade one test item (shared by serial and batched
+        paths). Returns (seg, rir, rir_padded, y, filename, n, n_pad)."""
+        exp = self.args["exp"]
+        tcfg = self.args["tester"]
+        original, rir, filename = self.test_set[i]
+        seg = np.asarray(original, np.float32)
+        seg = scaling * seg / _std(seg)  # normalize to sigma_data scale
+        rir = np.asarray(rir, np.float32)
+        # zero-pad the RIR to a bucket so the informed-DPS program
+        # compiles once per RIR-length bucket (conv result is unchanged)
+        rb = 4096
+        rir_padded = np.pad(rir, (0, ((len(rir) + rb - 1) // rb) * rb - len(rir)))
+
+        # forward pass with the true RIR
+        operator_ref = RIROperator(tcfg["informed_dereverberation"]["op_hp"],
+                                   time_kernel_size=rir.shape[-1],
+                                   sample_rate=exp["sample_rate"])
+        operator_ref.update_params(jnp.asarray(rir_padded))
+        y = operator_ref.degradation(jnp.asarray(seg)[None, :])
+        n = seg.shape[-1]
+        return seg, rir, rir_padded, np.asarray(y), filename, n, self._bucket_pad(n), operator_ref
+
+    def _write_item_outputs(self, mode, seg, y, pred, rir, filename, est_rir=None):
+        exp = self.args["exp"]
+        base = os.path.basename(filename)[:-4]
+        fs = exp["sample_rate"]
+        utils_logging.write_audio_file(seg, fs, base, path=self.paths[mode + "original"])
+        utils_logging.write_audio_file(np.asarray(y), fs, base,
+                                       path=self.paths[mode + "degraded"])
+        path_rec = utils_logging.write_audio_file(
+            pred, fs, base, path=self.paths[mode + "reconstructed"])
+        utils_logging.write_audio_file(rir, fs, base, path=self.paths[mode + "true_rir"])
+        if est_rir is not None:
+            utils_logging.write_audio_file(
+                est_rir, fs, base, path=self.paths[mode + "estimated_rir"])
+        print(path_rec)
+
+    def test_dereverberation_batched(self, mode, blind=False):
+        """Batched full-test-set dereverberation (BASELINE config 5).
+
+        Utterances are bucket-padded and grouped by (padded length, RIR
+        bucket); each group runs through ``predict_conditional_batched`` —
+        one vmapped program over B utterances instead of B serial runs.
+        Partial groups are padded by repeating the last utterance (the jit
+        cache stays bounded by bucket count, not utterance count).
+        """
+        exp = self.args["exp"]
+        tcfg = self.args["tester"]
+        scaling = float(tcfg["posterior_sampling"]["warm_initialization"]["scaling_factor"])
+        batch_size = int(tcfg["batched"].get("batch_size", 4))
+        chunk_threshold = int(tcfg.get("chunked", {}).get("threshold", 163840))
+
+        operator_blind = None
+        if blind:
+            assert tcfg["blind_dereverberation"]["operator"] == "subband_filtering"
+            operator_blind = BlindSubbandFiltering(
+                tcfg["informed_dereverberation"]["op_hp"],
+                sample_rate=exp["sample_rate"])
+
+        items = [self._prepare_item(i, scaling) for i in range(len(self.test_set))]
+
+        # long utterances keep the chunked overlap-add path
+        long_items = [it for it in items if it[5] > chunk_threshold]
+        items = [it for it in items if it[5] <= chunk_threshold]
+
+        groups: dict = {}
+        for it in items:
+            key = (it[6],) if blind else (it[6], it[2].shape[-1])
+            groups.setdefault(key, []).append(it)
+
+        for key, group in groups.items():
+            n_pad = key[0]
+            for s in range(0, len(group), batch_size):
+                batch = group[s:s + batch_size]
+                b_real = len(batch)
+                B = min(batch_size, max(b_real, 1))
+                while len(batch) < B:  # repeat-pad the tail batch
+                    batch.append(batch[-1])
+                ys = np.zeros((B, 1, n_pad), np.float32)
+                for b, it in enumerate(batch):
+                    ys[b, :, :it[5]] = it[3][:, :it[5]]
+                ys = jnp.asarray(ys)
+
+                self.rng, k_op, k_pred = jax.random.split(self.rng, 3)
+                if blind:
+                    operator = operator_blind
+                    op_params_b, H_b = operator.reset_batched(k_op, B)
+                    preds = self.sampler.predict_conditional_batched(
+                        ys, operator, blind=True, rng=k_pred,
+                        op_params_batch=op_params_b, H_batch=H_b)
+                else:
+                    operator = batch[0][7]  # any RIROperator (stateless apply)
+                    H_b = jnp.asarray(np.stack([it[2] for it in batch]))
+                    preds = self.sampler.predict_conditional_batched(
+                        ys, operator, blind=False, rng=k_pred, H_batch=H_b)
+                preds = np.asarray(preds)
+
+                for b, it in enumerate(batch[:b_real]):
+                    seg, rir, _rp, y, filename, n, _np, _op = it
+                    est = None
+                    if blind:
+                        est = np.asarray(
+                            operator.get_time_RIR(H=operator.H[b]))
+                    self._write_item_outputs(mode, seg, y, preds[b, ..., :n],
+                                             rir, filename, est_rir=est)
+
+        for it in long_items:  # serial chunked fallback
+            seg, rir, _rp, y, filename, n, _npad, operator_ref = it
+            if blind:
+                self.rng, k_op = jax.random.split(self.rng)
+                operator = operator_blind
+                operator.reset(k_op)
+            else:
+                operator = operator_ref
+            pred = self._predict_chunked(jnp.asarray(y), operator, blind, n)
+            est = None
+            if blind:
+                est = np.asarray(operator.get_time_RIR(H=operator.H))
+            self._write_item_outputs(mode, seg, y, pred, rir, filename, est_rir=est)
+
     def test_dereverberation(self, mode, blind=False):
         if self.test_set is None:
             print("No test set specified")
@@ -153,6 +274,8 @@ class Tester:
 
         exp = self.args["exp"]
         tcfg = self.args["tester"]
+        if tcfg.get("batched", {}).get("use", False):
+            return self.test_dereverberation_batched(mode, blind=blind)
         scaling = float(tcfg["posterior_sampling"]["warm_initialization"]["scaling_factor"])
 
         operator_blind = None

@@ -16,6 +16,9 @@ def _main(args):
     from buddy_tpu.config import instantiate
     from buddy_tpu.models import NetworkBundle
     from buddy_tpu.testing.tester import Tester
+    from buddy_tpu.utils.device import enable_compilation_cache
+
+    enable_compilation_cache()
 
     dirname = os.path.dirname(os.path.abspath(__file__))
     args["model_dir"] = os.path.join(dirname, str(args["model_dir"]))

@@ -1,0 +1,206 @@
+"""Batched + sharded inference tests (BASELINE config 5, VERDICT round-1
+items 4/5): the vmapped batched DPS program must reproduce the serial
+program per-sample, the Tester's batched path must produce the same outputs
+as its serial path, and data-parallel training must be numerically
+equivalent at dp=1 and dp=8 on the virtual CPU mesh.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+AUDIO = "/root/reference/audio_examples"
+
+TINY_NET = [
+    "network.nf=8",
+    "network.ch_mult=[1,2]",
+    "network.num_res_blocks=1",
+    "network.image_size=256",
+]
+
+N = 16384  # 1 s-ish segments keep CPU compiles small
+
+
+def compose_args(extra):
+    from buddy_tpu.config import compose
+    return compose("conf_VCTK.yaml", [
+        "tester=blind_dereverberation_BUDDy",
+        *TINY_NET,
+        "tester.sampling_params.T=2",
+        "tester.posterior_sampling.blind_hp.op_updates_per_step=2",
+        "tester.posterior_sampling.warm_initialization.wpe.taps=10",
+        *extra,
+    ])
+
+
+@pytest.fixture(scope="module")
+def tiny_bundle():
+    from buddy_tpu.config import compose, instantiate
+    from buddy_tpu.models import NetworkBundle
+    args = compose("conf_VCTK.yaml", TINY_NET)
+    net = NetworkBundle(instantiate(args["network"]))
+    net.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, N)), jnp.zeros((1,)))
+    return net
+
+
+def _make_ys(B):
+    rng = np.random.default_rng(7)
+    ys = rng.standard_normal((B, 1, N)).astype(np.float32) * 0.05
+    return jnp.asarray(ys)
+
+
+def test_batched_blind_matches_serial(tiny_bundle):
+    """Row b of the vmapped batched blind-DPS program equals a serial run
+    with the same rng key and operator init."""
+    from buddy_tpu.config import instantiate
+    from buddy_tpu.operators.subband import BlindSubbandFiltering
+
+    args = compose_args([])
+    diff_params = instantiate(args["diff_params"])
+    sampler = instantiate(args["tester"]["sampler"], tiny_bundle, diff_params, args)
+
+    B = 2
+    ys = _make_ys(B)
+    op_hp = args["tester"]["informed_dereverberation"]["op_hp"]
+    op = BlindSubbandFiltering(op_hp, sample_rate=16000)
+    op_params_b, H_b = op.reset_batched(jax.random.PRNGKey(1), B)
+
+    key = jax.random.PRNGKey(2)
+    preds_b = np.asarray(sampler.predict_conditional_batched(
+        ys, op, blind=True, rng=key,
+        op_params_batch=op_params_b, H_batch=H_b))
+
+    # serial run of sample 0 with the exact per-sample state + key
+    keys = jax.random.split(key, B)
+    op.params = {k: v[0] for k, v in op_params_b.items()}
+    op.H = H_b[0]
+    pred_0 = np.asarray(sampler.predict_conditional(
+        ys[0], op, shape=(1, N), blind=True, rng=keys[0]))
+
+    assert np.isfinite(preds_b).all()
+    np.testing.assert_allclose(preds_b[0], pred_0, rtol=1e-4, atol=1e-5)
+
+
+def test_batched_informed_matches_serial(tiny_bundle):
+    from buddy_tpu.config import compose, instantiate
+    from buddy_tpu.operators.reverb import RIROperator
+
+    args = compose("conf_VCTK.yaml", [
+        "tester=informed_dereverberation_DPS",
+        *TINY_NET,
+        "tester.sampling_params.T=3",
+    ])
+    diff_params = instantiate(args["diff_params"])
+    sampler = instantiate(args["tester"]["sampler"], tiny_bundle, diff_params, args)
+
+    B = 2
+    ys = _make_ys(B)
+    rng = np.random.default_rng(3)
+    rirs = rng.standard_normal((B, 2048)).astype(np.float32) * \
+        np.exp(-np.arange(2048, dtype=np.float32) / 200.0)
+    op = RIROperator(args["tester"]["informed_dereverberation"]["op_hp"],
+                     time_kernel_size=2048, sample_rate=16000)
+
+    key = jax.random.PRNGKey(5)
+    preds_b = np.asarray(sampler.predict_conditional_batched(
+        ys, op, blind=False, rng=key, H_batch=jnp.asarray(rirs)))
+
+    keys = jax.random.split(key, B)
+    op.update_params(jnp.asarray(rirs[1]))
+    pred_1 = np.asarray(sampler.predict_conditional(
+        ys[1], op, shape=(1, N), blind=False, rng=keys[1]))
+
+    assert np.isfinite(preds_b).all()
+    np.testing.assert_allclose(preds_b[1], pred_1, rtol=1e-4, atol=1e-5)
+
+
+def test_tester_batched_blind(tmp_path, tiny_bundle):
+    """The Tester's batched path (tester.batched.use) writes the same file
+    sets as the serial path for a 2-utterance test set."""
+    from buddy_tpu.config import instantiate
+    from buddy_tpu.testing.tester import Tester
+    from buddy_tpu.data.vctk import VCTKTestPaired
+
+    args = compose_args([f"model_dir={tmp_path}",
+                         "+tester.bucket_pad=16384",
+                         "tester.batched.use=True",
+                         "tester.batched.batch_size=2"])
+    diff_params = instantiate(args["diff_params"])
+    ds = VCTKTestPaired(fs=16000, segment_length=-1, path=AUDIO,
+                        speakers_discard=[], speakers_test=["p226", "p287"],
+                        num_examples=2, shuffle=False)
+    for i in range(2):
+        ds.test_audio[i] = ds.test_audio[i][:N]
+        ds.test_rir[i] = ds.test_rir[i][:4000]
+    t = Tester(args, tiny_bundle, diff_params, test_set=ds)
+    t.do_test()
+    mode = "blind_dereverberation"
+    for sub in ("original", "degraded", "reconstructed", "true_rir",
+                "estimated_rir"):
+        files = os.listdir(t.paths[mode + sub])
+        assert len(files) == 2, (sub, files)
+    from buddy_tpu.data.audio_io import read_wav
+    for f in os.listdir(t.paths[mode + "reconstructed"]):
+        rec, _ = read_wav(os.path.join(t.paths[mode + "reconstructed"], f))
+        assert rec.shape[-1] == N
+        assert np.isfinite(rec).all()
+
+
+def test_dp8_matches_dp1_train_step():
+    """One SPMD train step over the 8-device mesh produces the same loss,
+    metrics, and updated params as the same step on a 1-device mesh
+    (VERDICT round-1 item 5: prove multi-device numerics, not just
+    compilation)."""
+    from buddy_tpu.config import compose, instantiate
+    from buddy_tpu.models import NetworkBundle
+
+    audio_len = 4096
+    batch = 8
+
+    def run(dp):
+        args = compose("conf_VCTK.yaml", [
+            "network.nf=8", "network.ch_mult=[1,2]",
+            f"exp.batch_size={batch}", f"exp.audio_len={audio_len}",
+            f"exp.mesh.dp={dp}",
+            "exp.resume=False", "logging.log=False", "logging.save_model=False",
+        ])
+        args["model_dir"] = "/tmp/buddy_dp_test"
+        args["exp"]["model_dir"] = args["model_dir"]
+        diff_params = instantiate(args["diff_params"])
+        network = NetworkBundle(instantiate(args["network"]))
+        network.init(jax.random.PRNGKey(0),
+                     jnp.zeros((1, 1, audio_len), jnp.float32),
+                     jnp.zeros((1,), jnp.float32))
+
+        rng = np.random.default_rng(0)
+        fixed = rng.standard_normal((batch, audio_len)).astype(np.float32) * 0.05
+
+        class _Loader:
+            def next_batch(self):
+                return fixed
+
+        trainer = instantiate(args["exp"]["trainer"], args, _Loader(), network,
+                              diff_params, None)
+        assert trainer.mesh.devices.size == dp
+        trainer.train_step()
+        metrics = jax.device_get(trainer._metrics_acc)
+        params = jax.device_get(trainer.params)
+        return metrics, params
+
+    m1, p1 = run(1)
+    m8, p8 = run(8)
+    np.testing.assert_allclose(m1["loss"], m8["loss"], rtol=1e-5)
+    np.testing.assert_allclose(m1["grad_norm"], m8["grad_norm"], rtol=1e-5)
+    np.testing.assert_allclose(m1["bin_sum"], m8["bin_sum"], rtol=1e-5, atol=1e-7)
+    # Adam normalizes by sqrt(v): for leaves fed by init_scale=0 convs the
+    # gradients are ~1e-12, so m/sqrt(v) is reduction-order-dominated — the
+    # meaningful scale is one lr step (1e-4); gate an order below that.
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)

@@ -27,6 +27,12 @@ def _main(args):
     from buddy_tpu.models import NetworkBundle
     from buddy_tpu.data.loader import make_train_loader
     from buddy_tpu.testing.tester import Tester
+    from buddy_tpu.utils.device import enable_compilation_cache
+    from buddy_tpu.parallel.mesh import init_distributed
+
+    enable_compilation_cache()
+    if init_distributed():
+        print(f"multi-host: process {jax.process_index()} of {jax.process_count()}")
 
     dirname = os.path.dirname(os.path.abspath(__file__))
     args["model_dir"] = os.path.join(dirname, str(args["model_dir"]))
