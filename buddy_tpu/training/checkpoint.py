@@ -44,19 +44,72 @@ def _unflatten(flat):
 
 
 def save_checkpoint(path: str, *, params, ema_params, opt_state=None,
-                    it: int = 0) -> str:
-    """Save to ``<path>.ckpt`` (npz of the flattened pytrees — portable and
-    dependency-free; Orbax is used for async sharded saves in the trainer)."""
+                    it: int = 0, rng=None, args=None) -> str:
+    """Save the full training state to ``<path>.ckpt`` (npz of the flattened
+    pytrees — portable, dependency-free, synchronous; Orbax directories are
+    supported on the *load* side for externally produced checkpoints).
+
+    Matches the reference's state dict ``{it, network, optimizer, ema, args}``
+    (training/trainer.py:171-178), plus the PRNG key so a resumed run is
+    bit-identical to an uninterrupted one (torch relies on unsaved global RNG
+    there; we can do better).  Optimizer state is stored positionally
+    (``opt/0000``...) and restored against a treedef template from
+    ``opt.init(params)`` — see ``load_opt_state``.
+    """
     path = path if path.endswith(".ckpt") else path + ".ckpt"
     flat = {}
     flat.update({f"params/{k}": v for k, v in _flatten(jax.device_get(params)).items()})
     flat.update({f"ema/{k}": v for k, v in _flatten(jax.device_get(ema_params)).items()})
     flat["it"] = np.asarray(it)
+    if opt_state is not None:
+        for i, leaf in enumerate(jax.tree.leaves(jax.device_get(opt_state))):
+            flat[f"opt/{i:05d}"] = np.asarray(leaf)
+    if rng is not None:
+        flat["rng"] = np.asarray(jax.device_get(
+            jax.random.key_data(rng) if jax.dtypes.issubdtype(
+                getattr(rng, "dtype", np.uint32), jax.dtypes.prng_key) else rng))
+    if args is not None:
+        import json
+        cfg = args.to_dict() if hasattr(args, "to_dict") else dict(args)
+        flat["args_json"] = np.asarray(json.dumps(cfg, default=str))
     np.savez(path, **flat)
     # npz appends .npz; normalize name
     if os.path.exists(path + ".npz"):
         shutil.move(path + ".npz", path)
     return path
+
+
+def load_opt_state(path: str, template) -> Optional[Any]:
+    """Restore optimizer state saved by ``save_checkpoint`` against a
+    template pytree (``opt.init(params)``); None if the checkpoint predates
+    optimizer-state saving or is a foreign format."""
+    if not path.endswith((".ckpt", ".npz")):
+        return None
+    data = np.load(path, allow_pickle=False)
+    keys = sorted(k for k in data.files if k.startswith("opt/"))
+    if not keys:
+        return None
+    leaves, treedef = jax.tree.flatten(template)
+    if len(keys) != len(leaves):
+        raise ValueError(
+            f"optimizer state mismatch: checkpoint has {len(keys)} leaves, "
+            f"optimizer expects {len(leaves)} — was the optimizer config changed?")
+    restored = [np.asarray(data[k]).astype(l.dtype).reshape(l.shape)
+                for k, l in zip(keys, leaves)]
+    return jax.tree.unflatten(treedef, restored)
+
+
+def load_extras(path: str) -> dict:
+    """Load the rng key and config snapshot, when present."""
+    out = {}
+    if path.endswith((".ckpt", ".npz")):
+        data = np.load(path, allow_pickle=False)
+        if "rng" in data.files:
+            out["rng"] = np.asarray(data["rng"])
+        if "args_json" in data.files:
+            import json
+            out["args"] = json.loads(str(data["args_json"]))
+    return out
 
 
 def _load_npz(path: str, prefer_ema: bool) -> Tuple[dict, int]:

@@ -4,10 +4,10 @@ The reference vendors NVIDIA's training_stats (utils/torch_utils/
 training_stats.py): a global ``report(name, value)`` accumulating
 [count, sum, sum-of-squares] moments, synced across processes with
 all_reduce and exposed through a ``Collector`` (mean/std).  Here the
-moments live as device arrays; ``Collector.update()`` performs the host
-fetch, and in a multi-process setting the sync is a ``jax.pmap``-free
-``psum`` across the mesh (the reference's ``_sync`` counterpart) — though
-like the reference, single-process use needs no sync at all.
+host-side moments are fed from the trainer's *device-side* accumulator
+(reduced across the SPMD mesh by XLA inside the jitted train step — the
+functional counterpart of the reference's ``_sync`` all_reduce); the
+``report``/``Collector`` API matches the reference for user code.
 """
 
 from __future__ import annotations
@@ -17,8 +17,6 @@ from typing import Dict
 
 import numpy as np
 
-import jax.numpy as jnp
-
 _NUM_MOMENTS = 3
 
 _counters: Dict[str, list] = defaultdict(list)
@@ -27,9 +25,20 @@ _counters: Dict[str, list] = defaultdict(list)
 def report(name: str, value) -> None:
     """Accumulate [n, sum(x), sum(x^2)] for a named statistic
     (training_stats.py:54-97)."""
-    x = jnp.asarray(value, jnp.float32).reshape(-1)
-    moments = jnp.stack([jnp.float32(x.size), jnp.sum(x), jnp.sum(x * x)])
+    x = np.asarray(value, np.float32).reshape(-1)
+    moments = np.stack([np.float32(x.size), np.sum(x), np.sum(x * x)])
     _counters[name].append(moments)
+
+
+def report_moments(name: str, *, n: float, total: float, total_sq: float) -> None:
+    """Inject precomputed [n, sum, sum-of-squares] moments.
+
+    The trainer accumulates moments ON DEVICE inside the jitted SPMD step
+    (psum-reduced across the mesh by XLA — the functional counterpart of the
+    reference's ``_sync`` all_reduce, training_stats.py:232-258) and feeds
+    them here once per log interval, instead of reporting raw values with a
+    per-step host sync."""
+    _counters[name].append(np.asarray([n, total, total_sq], np.float64))
 
 
 def report0(name: str, value) -> None:

@@ -32,6 +32,7 @@ import optax
 
 from buddy_tpu.parallel.mesh import make_mesh, shard_batch, replicate
 from buddy_tpu.training import checkpoint as ckpt
+from buddy_tpu.training import stats
 import buddy_tpu.utils.log as utils_logging
 
 try:  # optional dependency
@@ -118,6 +119,7 @@ class Trainer:
         self._train_step = self._build_train_step()
         self._metrics_acc = None
         self._log_rows = []
+        self.stats_collector = stats.Collector(keep_previous=True)
 
         self.wandb_run = None
         if log_cfg.get("log", False) and _wandb is not None and \
@@ -131,7 +133,9 @@ class Trainer:
         self.profile_wait = int(prof.get("wait", 5))
         self.profile_warmup = int(prof.get("warmup", 10))
         self.profile_active = int(prof.get("active", 2))
+        self.profile_repeat = int(prof.get("repeat", 1))
         self._profiling_now = False
+        self._profile_cycle = 0
 
     # ------------------------------------------------------------------
     def _build_train_step(self):
@@ -148,7 +152,11 @@ class Trainer:
         def loss_and_metrics(params, rng, batch):
             error, sigma = diff.loss_fn(partial(net_fn, params), rng, batch)
             loss = error.mean()
-            # per-sigma-bin stats: mean error of every element in the bin
+            # Per-sigma-bin stats over per-item mean errors.  The reference
+            # (trainer.py:194-218) reports only the FIRST batch item landing
+            # in each bin per step (error[idx].mean()); we accumulate every
+            # item's mean — the same statistic over a superset of samples.
+            # Validated against a numpy oracle in tests/test_e2e.py.
             per_elem = error.mean(axis=tuple(range(1, error.ndim)))  # (B,)
             bin_idx = jnp.searchsorted(bins, sigma)                  # 0..nbins
             bin_idx = jnp.clip(bin_idx, 0, bins.shape[0] - 1)
@@ -173,7 +181,11 @@ class Trainer:
                 lambda e, p: e * s + p * (1.0 - s), ema_params, params)
 
             metrics = {"loss": loss, "bin_sum": aux[0], "bin_sumsq": aux[1],
-                       "bin_count": aux[2], "count": jnp.float32(1.0)}
+                       "bin_count": aux[2], "count": jnp.float32(1.0),
+                       # pre-clip global gradient norm — the observability
+                       # counterpart of the reference's wandb.watch gradient
+                       # logging (trainer.py:92-102)
+                       "grad_norm": optax.global_norm(grads)}
             return params, ema_params, opt_state, rng, metrics
 
         return jax.jit(train_step, donate_argnums=(0, 1, 2))
@@ -205,7 +217,9 @@ class Trainer:
         exp_name = self.args["exp"]["exp_name"]
         base = os.path.join(self.args["model_dir"], f"{exp_name}-{self.it}")
         path = ckpt.save_checkpoint(base, params=self.params,
-                                    ema_params=self.ema_params, it=self.it)
+                                    ema_params=self.ema_params,
+                                    opt_state=self.opt_state, rng=self.rng,
+                                    args=self.args, it=self.it)
         print("saving", path)
         if self.args["logging"].get("remove_old_checkpoints", False):
             ckpt.remove_checkpoint(self.latest_checkpoint)
@@ -222,7 +236,15 @@ class Trainer:
             ema, _ = ckpt.load_any_checkpoint(checkpoint_path, prefer_ema=True)
             self.params = replicate(self.mesh, jax.tree.map(jnp.asarray, params))
             self.ema_params = replicate(self.mesh, jax.tree.map(jnp.asarray, ema))
-            self.opt_state = self.opt.init(self.params)
+            # Adam first/second moments round-trip (reference trainer.py:171-178
+            # saves the optimizer; re-initializing would silently diverge a
+            # resumed run from an uninterrupted one)
+            restored = ckpt.load_opt_state(checkpoint_path, self.opt.init(self.params))
+            self.opt_state = (jax.tree.map(jnp.asarray, restored)
+                              if restored is not None else self.opt.init(self.params))
+            extras = ckpt.load_extras(checkpoint_path)
+            if "rng" in extras:
+                self.rng = jnp.asarray(extras["rng"], jnp.uint32)
             self.it = it
             self.latest_checkpoint = checkpoint_path
             return True
@@ -233,7 +255,13 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def easy_logging(self):
-        """Fetch the device-side metric accumulator and log (trainer.py:260-279)."""
+        """Fetch the device-side metric accumulator and log (trainer.py:260-279).
+
+        The fetched moments are routed through ``training.stats`` (the
+        reference's training_stats report/Collector pipeline) — reported
+        once per log interval from the already-reduced device accumulator,
+        instead of the reference's per-step GPU->CPU sync (trainer.py:203).
+        """
         if self._metrics_acc is None:
             return
         acc = jax.device_get(self._metrics_acc)
@@ -243,9 +271,23 @@ class Trainer:
         means = acc["bin_sum"] / count
         stds = np.sqrt(np.maximum(acc["bin_sumsq"] / count - means ** 2, 0.0))
         means = np.where(acc["bin_count"] > 0, means, np.nan)
-        row = {"it": self.it, "loss": loss_mean}
+
+        grad_norm_mean = float(acc["grad_norm"] / n)
+        stats.report_moments("loss", n=n, total=float(acc["loss"]),
+                             total_sq=float(acc["loss"]) ** 2 / n)
+        stats.report_moments("grad_norm", n=n, total=float(acc["grad_norm"]),
+                             total_sq=float(acc["grad_norm"]) ** 2 / n)
+        for i, s in enumerate(self.sigma_bins):
+            if acc["bin_count"][i] > 0:
+                stats.report_moments(f"error_sigma_{s}",
+                                     n=float(acc["bin_count"][i]),
+                                     total=float(acc["bin_sum"][i]),
+                                     total_sq=float(acc["bin_sumsq"][i]))
+        self.stats_collector.update()
+
+        row = {"it": self.it, "loss": loss_mean, "grad_norm": grad_norm_mean}
         self._log_rows.append(row)
-        print(f"it={self.it} loss={loss_mean:.6f}")
+        print(f"it={self.it} loss={loss_mean:.6f} grad_norm={grad_norm_mean:.4f}")
 
         model_dir = self.args["model_dir"]
         os.makedirs(model_dir, exist_ok=True)
@@ -254,14 +296,27 @@ class Trainer:
             f.write(json.dumps({**row,
                                 "sigma_bins": self.sigma_bins.tolist(),
                                 "bin_means": means.tolist()}) + "\n")
+        plot_path = None
         try:
+            plot_path = os.path.join(model_dir, "loss_by_sigma.png")
             utils_logging.plot_loss_by_sigma(
-                means, stds, self.sigma_bins,
-                out_path=os.path.join(model_dir, "loss_by_sigma.png"))
+                means, stds, self.sigma_bins, out_path=plot_path)
         except Exception:
-            pass
+            plot_path = None
         if self.wandb_run is not None:
-            self.wandb_run.log({"loss": loss_mean}, step=self.it)
+            # scalar pipeline parity (reference trainer.py:260-279): loss,
+            # grad norms (wandb.watch analogue), the per-sigma error curve,
+            # and the loss-by-sigma plot image
+            payload = {"loss": loss_mean, "grad_norm": grad_norm_mean}
+            for i, s in enumerate(self.sigma_bins):
+                if acc["bin_count"][i] > 0:
+                    payload[f"error_sigma_{s}"] = float(means[i])
+            if plot_path is not None and os.path.exists(plot_path):
+                try:
+                    payload["loss_by_sigma"] = _wandb.Image(plot_path)
+                except Exception:
+                    pass
+            self.wandb_run.log(payload, step=self.it)
         self._metrics_acc = None
 
     def heavy_logging(self):
@@ -276,27 +331,51 @@ class Trainer:
         if audio is None:
             return
         fs = self.args["exp"]["sample_rate"]
+        wandb_audio = {}
         for i, x in enumerate(np.asarray(audio)):
             utils_logging.write_audio_file(
                 x, fs, f"sample_{i}_it{self.it}", path=self.args["model_dir"],
                 normalize=True)
+            if self.wandb_run is not None:
+                try:  # audio-to-wandb parity (reference trainer.py:293-301)
+                    m = np.abs(x).max() or 1.0
+                    wandb_audio[f"unconditional_{i}"] = _wandb.Audio(
+                        np.asarray(x / m, np.float32), sample_rate=fs)
+                except Exception:
+                    pass
+        if self.wandb_run is not None and wandb_audio:
+            self.wandb_run.log(wandb_audio, step=self.it)
 
     # ------------------------------------------------------------------
     def _profiler_hook(self):
+        """jax.profiler trace on the reference's wait/warmup/active/repeat
+        schedule (reference trainer.py:309-317 + base_logging.yaml:17-22),
+        with the finished trace registered as a wandb artifact."""
         if not self.profile:
             return
-        start = self.profile_wait + self.profile_warmup
+        period = self.profile_wait + self.profile_warmup + self.profile_active
+        cycle_start = self._profile_cycle * period
+        start = cycle_start + self.profile_wait + self.profile_warmup
         stop = start + self.profile_active
+        trace_dir = os.path.join(self.args["model_dir"], "tbprofile")
         if self.it == start and not self._profiling_now:
-            trace_dir = os.path.join(self.args["model_dir"], "tbprofile")
             os.makedirs(trace_dir, exist_ok=True)
             jax.profiler.start_trace(trace_dir)
             self._profiling_now = True
         elif self.it == stop and self._profiling_now:
             jax.profiler.stop_trace()
             self._profiling_now = False
-            print("profiling done")
-            self.profile = False
+            self._profile_cycle += 1
+            print(f"profiling cycle {self._profile_cycle}/{self.profile_repeat} done")
+            if self._profile_cycle >= self.profile_repeat:
+                self.profile = False
+                if self.wandb_run is not None:
+                    try:  # trace-artifact parity (reference trainer.py:312-317)
+                        art = _wandb.Artifact("trace", type="profile")
+                        art.add_dir(trace_dir)
+                        self.wandb_run.log_artifact(art)
+                    except Exception:
+                        pass
 
     def training_loop(self):
         log_cfg = self.args["logging"]

@@ -12,6 +12,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
 
@@ -183,6 +184,218 @@ def _read(dirpath):
     from buddy_tpu.data.audio_io import read_wav
     f = [x for x in os.listdir(dirpath) if x.endswith(".wav")][0]
     return read_wav(os.path.join(dirpath, f))
+
+
+def test_chunked_crossfade_is_identity(tmp_path, tiny_network):
+    """If the sampler reproduces each chunk exactly, the overlap-add
+    crossfade must reassemble the input exactly — validates the window
+    math (weights normalize to 1, no seams, exact length)."""
+    from buddy_tpu.config import instantiate
+    from buddy_tpu.testing.tester import Tester
+
+    args = compose_args("informed_dereverberation_DPS",
+                        ["tester.sampling_params.T=2",
+                         f"model_dir={tmp_path}",
+                         "+tester.chunked.threshold=16384",
+                         "+tester.chunked.chunk_size=16384",
+                         "+tester.chunked.overlap=4096"])
+    diff_params = instantiate(args["diff_params"])
+    t = Tester(args, tiny_network, diff_params)
+
+    class _IdentitySampler:
+        def predict_conditional(self, y_c, operator, shape=None, blind=False,
+                                rng=None, **_):
+            return np.asarray(y_c)
+    t.sampler = _IdentitySampler()
+
+    n = 40000
+    y = np.random.default_rng(0).standard_normal((1, n)).astype(np.float32)
+    out = t._predict_chunked(jnp.asarray(y), operator=None, blind=False, n=n)
+    assert out.shape == (1, n)
+    np.testing.assert_allclose(out, y, rtol=1e-5, atol=1e-6)
+
+
+def _oracle_net(edm):
+    """A scale-invariant 'oracle' denoiser mock: x_den = sigma_data * x /
+    std(x).  Recovers x and t from the preconditioned net inputs (cin*x,
+    cnoise = log(t)/4), so the DPS machinery runs unchanged while the score
+    model is deterministic — isolates the chunking/crossfade design from
+    random-weight noise."""
+    def net(z, cnoise):
+        t = jnp.exp(4.0 * cnoise)
+        t = jnp.reshape(t, (-1,) + (1,) * (z.ndim - 1))
+        x = z / edm.cin(t)
+        target = 0.05 * x / (jnp.std(x, axis=-1, keepdims=True) + 1e-12)
+        return (target - edm.cskip(t) * x) / edm.cout(t)
+    return net
+
+
+def test_chunked_blind_matches_unchunked(tmp_path):
+    """Chunked overlap-add blind output vs an unchunked run of the same
+    utterance with a deterministic oracle denoiser (VERDICT round-1 item 9).
+
+    Exact waveform match is NOT expected: the serving path renormalizes
+    x_den to sigma_data per program (constraint_speech_magnitude), so each
+    chunk carries its own local scale, and the blind filter is estimated on
+    chunk 1 only — both inherent to the chunked design.  Calibrated values
+    on this config: rel=0.55, corr=0.85.  The gates catch crossfade/
+    plumbing regressions (a seam or misalignment drops corr below ~0.5);
+    exact crossfade math is pinned by test_chunked_crossfade_is_identity."""
+    from buddy_tpu.config import instantiate
+    from buddy_tpu.testing.tester import Tester
+    from buddy_tpu.data.vctk import VCTKTestPaired
+
+    def build(threshold):
+        args = compose_args(
+            "blind_dereverberation_BUDDy",
+            ["tester.sampling_params.T=3",
+             "tester.posterior_sampling.blind_hp.op_updates_per_step=2",
+             "tester.sampling_params.Schurn=0",
+             "tester.posterior_sampling.warm_initialization.mode=reverb_scaled",
+             f"model_dir={tmp_path}",
+             "+tester.bucket_pad=8192",
+             f"+tester.chunked.threshold={threshold}",
+             "+tester.chunked.chunk_size=16384",
+             "+tester.chunked.overlap=4096"])
+        diff_params = instantiate(args["diff_params"])
+        ds = VCTKTestPaired(fs=16000, segment_length=-1, path=AUDIO,
+                            speakers_discard=[], speakers_test=["p226"],
+                            num_examples=1, shuffle=False)
+        n_long = 40000
+        ds.test_audio[0] = ds.test_audio[0][:n_long]
+        ds.test_rir[0] = ds.test_rir[0][:2000]
+        t = Tester(args, _oracle_net(diff_params), diff_params, test_set=ds,
+                   rng=jax.random.PRNGKey(123))
+        t.do_test()
+        rec, _ = _read(t.paths["blind_dereverberation" + "reconstructed"])
+        import shutil
+        shutil.rmtree(t.path_sampling)
+        return rec
+
+    full = build(threshold=163840)   # unchunked
+    chunked = build(threshold=16384)  # 3 chunks
+    assert full.shape == chunked.shape
+    assert np.isfinite(chunked).all()
+    rel = np.linalg.norm(chunked - full) / (np.linalg.norm(full) + 1e-12)
+    assert rel < 0.7, f"chunked output diverges from unchunked: rel={rel:.3f}"
+    corr = np.corrcoef(chunked.ravel(), full.ravel())[0, 1]
+    assert corr > 0.75, f"chunked/unchunked decorrelated: corr={corr:.3f}"
+
+
+def _make_trainer(tmp_path, resume: bool):
+    """A trainer over a constant batch (deterministic trajectory)."""
+    from buddy_tpu.config import compose, instantiate
+    from buddy_tpu.models import NetworkBundle
+
+    audio_len = 4096
+    args = compose("conf_VCTK.yaml", [
+        *TINY_NET,
+        "exp.batch_size=2", f"exp.audio_len={audio_len}",
+        "exp.mesh.dp=1",
+        f"exp.resume={resume}", "logging.log=False", "logging.save_model=True",
+        f"model_dir={tmp_path}",
+    ])
+    args["exp"]["model_dir"] = str(tmp_path)
+    args["model_dir"] = str(tmp_path)
+    diff_params = instantiate(args["diff_params"])
+    network = NetworkBundle(instantiate(args["network"]))
+    import jax.numpy as jnp
+    network.init(jax.random.PRNGKey(0),
+                 jnp.zeros((1, 1, audio_len), jnp.float32),
+                 jnp.zeros((1,), jnp.float32))
+
+    fixed = np.random.default_rng(0).standard_normal(
+        (2, audio_len)).astype(np.float32) * 0.05
+
+    class _Loader:
+        def next_batch(self):
+            return fixed
+
+    return instantiate(args["exp"]["trainer"], args, _Loader(), network,
+                       diff_params, None)
+
+
+def test_resume_is_bit_faithful(tmp_path):
+    """A save/resume run reproduces the uninterrupted trajectory exactly:
+    the checkpoint round-trips params + EMA + Adam moments + the PRNG key
+    (reference trainer.py:171-178 saves the optimizer; round 1 re-inited
+    Adam on resume, silently diverging)."""
+    from buddy_tpu.training import checkpoint as ckpt
+
+    tA = _make_trainer(tmp_path, resume=False)
+    for _ in range(3):
+        tA.train_step()
+    tA.it = 3
+    tA.save_checkpoint()
+    for _ in range(3):
+        tA.train_step()
+    pA = jax.device_get(tA.params)
+    eA = jax.device_get(tA.ema_params)
+
+    tB = _make_trainer(tmp_path, resume=True)
+    assert tB.it == 3  # resumed
+    for _ in range(3):
+        tB.train_step()
+    pB = jax.device_get(tB.params)
+    eB = jax.device_get(tB.ema_params)
+
+    for a, b in zip(jax.tree.leaves(pA), jax.tree.leaves(pB)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(eA), jax.tree.leaves(eB)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the config snapshot rode along (reference saves `args`)
+    extras = ckpt.load_extras(tA.latest_checkpoint)
+    assert extras["args"]["exp"]["batch_size"] == 2
+    assert "rng" in extras
+
+
+def test_sigma_bin_stats_match_numpy_oracle(tmp_path):
+    """The device-side sigma-bin accumulator equals a numpy re-computation
+    from the same error/sigma draw (VERDICT round-1 item 8)."""
+    from functools import partial
+
+    trainer = _make_trainer(tmp_path, resume=False)
+    rng0 = trainer.rng
+    # snapshot before the step: train_step donates its param buffers, and
+    # network.params aliases them (same-device device_put is no-copy)
+    params0 = jax.device_get(trainer.params)
+    trainer.train_step()
+    acc = jax.device_get(trainer._metrics_acc)
+
+    # replay the step's randomness: train_step splits rng once
+    _, k = jax.random.split(rng0)
+    batch = trainer.dset.next_batch()
+
+    def net_fn(params, x, cnoise):
+        return trainer.network.module.apply(params, x[:, None, :], cnoise)[:, 0, :]
+
+    error, sigma = trainer.diff_params.loss_fn(
+        partial(net_fn, params0), k, jax.numpy.asarray(batch))
+    error = np.asarray(error)
+    sigma = np.asarray(sigma).reshape(-1)
+
+    per_item = error.reshape(error.shape[0], -1).mean(axis=1)
+    bins = trainer.sigma_bins
+    idx = np.clip(np.searchsorted(bins, sigma), 0, len(bins) - 1)
+    bin_sum = np.zeros(len(bins)); bin_sumsq = np.zeros(len(bins))
+    bin_count = np.zeros(len(bins))
+    for i, b in enumerate(idx):
+        bin_sum[b] += per_item[i]
+        bin_sumsq[b] += per_item[i] ** 2
+        bin_count[b] += 1
+
+    np.testing.assert_allclose(acc["loss"], error.mean(), rtol=1e-5)
+    np.testing.assert_array_equal(acc["bin_count"], bin_count)
+    np.testing.assert_allclose(acc["bin_sum"], bin_sum, rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(acc["bin_sumsq"], bin_sumsq, rtol=1e-4, atol=1e-9)
+
+    # and the stats pipeline (training_stats parity) reports the same means
+    from buddy_tpu.training import stats
+    stats._counters.clear()
+    trainer.easy_logging()
+    c = trainer.stats_collector
+    assert abs(c.mean("loss") - float(error.mean())) < 1e-5
 
 
 def test_tester_chunked_long_utterance(tmp_path, tiny_network):
