@@ -14,6 +14,8 @@ dimension — where the reference is NCHW.  The checkpoint converter
 from __future__ import annotations
 
 import math
+
+_INV_SQRT2 = 1.0 / math.sqrt(2.0)  # mul beats div on the TPU VPU
 from typing import Any, Callable, Optional, Sequence
 
 import flax.linen as nn
@@ -200,7 +202,7 @@ class AttnBlockpp(nn.Module):
         h = NIN(C, init_scale=self.init_scale, name="NIN_3")(h)
         if not self.skip_rescale:
             return x + h
-        return (x + h) / math.sqrt(2.0)
+        return (x + h) * _INV_SQRT2
 
 
 class Upsample(nn.Module):
@@ -295,7 +297,7 @@ class ResnetBlockDDPMpp(nn.Module):
                 x = NIN(out_ch, name="NIN_0")(x)
         if not self.skip_rescale:
             return x + h
-        return (x + h) / math.sqrt(2.0)
+        return (x + h) * _INV_SQRT2
 
 
 class ResnetBlockBigGANpp(nn.Module):
@@ -358,4 +360,4 @@ class ResnetBlockBigGANpp(nn.Module):
 
         if not self.skip_rescale:
             return x + h
-        return (x + h) / math.sqrt(2.0)
+        return (x + h) * _INV_SQRT2

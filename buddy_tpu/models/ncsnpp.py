@@ -19,6 +19,8 @@ the pad-frames-to-16 rule (ncsnpp.py:455-506).
 from __future__ import annotations
 
 import math
+
+_INV_SQRT2 = 1.0 / math.sqrt(2.0)  # mul beats div on the TPU VPU
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
@@ -267,7 +269,7 @@ class NCSNpp(nn.Module):
                 elif self.progressive_input == "residual":
                     input_pyramid = modules[m_idx](input_pyramid); m_idx += 1
                     if self.skip_rescale:
-                        input_pyramid = (input_pyramid + h) / math.sqrt(2.0)
+                        input_pyramid = (input_pyramid + h) * _INV_SQRT2
                     else:
                         input_pyramid = input_pyramid + h
                     h = input_pyramid
@@ -298,7 +300,7 @@ class NCSNpp(nn.Module):
                     elif self.progressive == "residual":
                         pyramid = modules[m_idx](pyramid); m_idx += 1
                         if self.skip_rescale:
-                            pyramid = (pyramid + h) / math.sqrt(2.0)
+                            pyramid = (pyramid + h) * _INV_SQRT2
                         else:
                             pyramid = pyramid + h
                         h = pyramid

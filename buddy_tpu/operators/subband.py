@@ -74,7 +74,8 @@ class SubbandFiltering(Operator):
         return self.op_stft.apply_istft(X, length)
 
     # --- the forward model ----------------------------------------------
-    def subband_filtering(self, X: jax.Array, H: jax.Array) -> jax.Array:
+    def subband_filtering(self, X: jax.Array, H: jax.Array,
+                          Xf: jax.Array | None = None) -> jax.Array:
         """Per-bin FIR along frames (subband_filtering.py:67-74).
 
         The reference's flip+pad+grouped-conv1d is equivalent to the full
@@ -87,14 +88,22 @@ class SubbandFiltering(Operator):
         T = X.shape[-1]
         Nf = H.shape[-1]
         fft_size = _next_pow2(T + Nf - 1)
-        Xf = jnp.fft.fft(X, n=fft_size, axis=-1)
+        if Xf is None:
+            Xf = jnp.fft.fft(X, n=fft_size, axis=-1)
         Hf = jnp.fft.fft(H, n=fft_size, axis=-1)
         full = jnp.fft.ifft(Xf * Hf, axis=-1)  # full conv, length T+Nf-1
         return jax.lax.dynamic_slice_in_dim(full, pre, T, axis=-1)
 
+    def frame_fft(self, X: jax.Array) -> jax.Array:
+        """Frame-axis FFT of a spectrogram at the conv size used by
+        ``subband_filtering`` — lets callers hoist the FFT of a constant X
+        out of the blind inner loop (10 re-uses per diffusion step)."""
+        fft_size = _next_pow2(X.shape[-1] + self.Nf - 1)
+        return jnp.fft.fft(X, n=fft_size, axis=-1)
+
     def degradation(self, x: jax.Array | None, mode: str = "waveform",
                     H: jax.Array | None = None, detach_operator: bool = False,
-                    X: jax.Array | None = None,
+                    X: jax.Array | None = None, Xf: jax.Array | None = None,
                     length: int | None = None) -> jax.Array:
         """Apply the subband reverb model.  ``X``/``length`` let callers pass
         a precomputed observation STFT — the blind inner loop evaluates the
@@ -112,7 +121,7 @@ class SubbandFiltering(Operator):
             H = self.H
         if detach_operator:
             H = jax.lax.stop_gradient(H)
-        Y = self.subband_filtering(X, H)
+        Y = self.subband_filtering(X, H, Xf=Xf)
         if mode == "waveform":
             y = self.apply_istft(Y, length=length)
             if squeeze:
@@ -148,7 +157,15 @@ class SubbandFiltering(Operator):
         return self._time_rir_jit(H)
 
     def _time_rir_fn(self, H: jax.Array) -> jax.Array:
-        y = self.degradation(None, H=H, X=jnp.asarray(self._impulse_stft()),
+        # the impulse spectrum AND its frame-FFT are geometry constants —
+        # precompute both in numpy so the reg-loss inner loop (10x per
+        # diffusion step) only FFTs the H side
+        X_imp = self._impulse_stft()
+        if not hasattr(self, "_X_imp_f"):
+            fft_size = _next_pow2(X_imp.shape[-1] + self.Nf - 1)
+            self._X_imp_f = np.fft.fft(X_imp, n=fft_size, axis=-1).astype(np.complex64)
+        y = self.degradation(None, H=H, X=jnp.asarray(X_imp),
+                             Xf=jnp.asarray(self._X_imp_f),
                              length=self.length_rir + 1024)
         return y[0]
 

@@ -113,12 +113,15 @@ class EulerHeunSamplerDPS(EulerHeunSampler):
         t_op = jnp.clip(t_hat, self.reg_sigma_min, self.reg_sigma_max) \
             if self.reg_loss is not None else None
         X_den = operator.apply_stft(x_den)
+        # the frame-axis FFT of X_den is also constant across the inner
+        # updates — hoist it so each update only FFTs the H side
+        Xf_den = operator.frame_fft(X_den)
         x_len = x_den.shape[-1]
 
         def loss_fn(p, k_reg):
             H = operator.compute_H(p)
             y_hat = operator.degradation(None, H=H, mode="waveform",
-                                         X=X_den, length=x_len)
+                                         X=X_den, Xf=Xf_den, length=x_len)
             if self.rec_loss_params is None:
                 loss = 0.0
             elif y_prepared:
@@ -140,8 +143,11 @@ class EulerHeunSamplerDPS(EulerHeunSampler):
             p = operator.project(p)
             return (p, s, H, k), None
 
+        # fully unrolled: 10 iterations of loop overhead disappear and XLA
+        # can fuse/CSE across updates (the carry is tiny — the filter params)
         (op_params, opt_state, H, rng), _ = jax.lax.scan(
-            inner, (op_params, opt_state, H, rng), None, length=n_updates)
+            inner, (op_params, opt_state, H, rng), None, length=n_updates,
+            unroll=True)
         return op_params, opt_state, jax.lax.stop_gradient(H), rng
 
     def _likelihood_score(self, x_den, vjp_fn, degrade):

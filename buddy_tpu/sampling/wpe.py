@@ -47,6 +47,10 @@ def _wpe_single_bin(Y: jax.Array, taps: int, delay: int, iterations: int,
         Yt_norm = Yt / power[None, :]
         R = Yt_norm @ jnp.conj(Yt).T                    # (taps, taps)
         P = Yt_norm @ jnp.conj(Y)                       # (taps,)
+        # LU solve: R is Hermitian PSD so a Cholesky solve would be ~2x
+        # cheaper, but complex cholesky/triangular_solve are UNIMPLEMENTED
+        # on the axon TPU backend (probed 2026-08: NaN or runtime error) —
+        # keep the batched LU, it is a one-time ~2% cost per run.
         G = jnp.linalg.solve(R + eps * jnp.eye(taps, dtype=R.dtype), P)
         X_new = Y - jnp.conj(G) @ Yt
         return X_new, None
