@@ -17,7 +17,8 @@ def create_schedule(T: int, *, sigma_min: float, sigma_max: float, rho: float,
 
     Note the reference divides by (T-1), so index T-1 lands exactly on
     sigma_min and index T overshoots before being overwritten with 0
-    (Sampler.py:53-55).
+    (Sampler.py:53-55).  T=1 is degenerate in both implementations
+    (0/0 -> NaN schedule); the minimum usable schedule is T=2.
     """
     if schedule != "edm":
         raise NotImplementedError(f"schedule {schedule} not implemented")

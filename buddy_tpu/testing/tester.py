@@ -196,6 +196,26 @@ class Tester:
         batch_size = int(tcfg["batched"].get("batch_size", 4))
         chunk_threshold = int(tcfg.get("chunked", {}).get("threshold", 163840))
 
+        # multi-chip: shard the utterance batch over the dp mesh so each
+        # device runs B/dp utterances of the same vmapped program
+        # (tester.batched.shard, on by default when >1 device is visible)
+        mesh = None
+        if tcfg["batched"].get("shard", True) and jax.device_count() > 1:
+            from buddy_tpu.parallel.mesh import make_mesh, batch_sharding
+            dp = jax.device_count()
+            if batch_size % dp == 0:
+                mesh = make_mesh(dp)
+                self._batch_sharding = batch_sharding(mesh)
+
+        def _place(tree):
+            """Shard over dp when the (possibly tail-short) batch divides."""
+            if mesh is None:
+                return tree
+            leaves = jax.tree.leaves(tree)
+            if not leaves or leaves[0].shape[0] % mesh.devices.size != 0:
+                return tree
+            return jax.device_put(tree, self._batch_sharding)
+
         operator_blind = None
         if blind:
             assert tcfg["blind_dereverberation"]["operator"] == "subband_filtering"
@@ -225,7 +245,7 @@ class Tester:
                 ys = np.zeros((B, 1, n_pad), np.float32)
                 for b, it in enumerate(batch):
                     ys[b, :, :it[5]] = it[3][:, :it[5]]
-                ys = jnp.asarray(ys)
+                ys = _place(jnp.asarray(ys))
 
                 self.rng, k_op, k_pred = jax.random.split(self.rng, 3)
                 if blind:
@@ -233,12 +253,14 @@ class Tester:
                     op_params_b, H_b = operator.reset_batched(k_op, B)
                     preds = self.sampler.predict_conditional_batched(
                         ys, operator, blind=True, rng=k_pred,
-                        op_params_batch=op_params_b, H_batch=H_b)
+                        op_params_batch=_place(op_params_b),
+                        H_batch=_place(H_b))
                 else:
                     operator = batch[0][7]  # any RIROperator (stateless apply)
                     H_b = jnp.asarray(np.stack([it[2] for it in batch]))
                     preds = self.sampler.predict_conditional_batched(
-                        ys, operator, blind=False, rng=k_pred, H_batch=H_b)
+                        ys, operator, blind=False, rng=k_pred,
+                        H_batch=_place(H_b))
                 preds = np.asarray(preds)
 
                 for b, it in enumerate(batch[:b_real]):

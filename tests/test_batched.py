@@ -153,6 +153,48 @@ def test_tester_batched_blind(tmp_path, tiny_bundle):
         assert np.isfinite(rec).all()
 
 
+def test_tester_batched_blind_sharded(tmp_path, tiny_bundle):
+    """With batch_size == device count, the batched tester shards the
+    utterance batch over the dp mesh (tester.batched.shard, on by default)
+    — multi-chip inference through the real Tester surface, exercised on
+    the virtual 8-device CPU mesh."""
+    from buddy_tpu.config import instantiate
+    from buddy_tpu.testing.tester import Tester
+    from buddy_tpu.data.vctk import VCTKTestPaired
+
+    assert jax.device_count() == 8  # conftest forces the virtual CPU mesh
+
+    args = compose_args([f"model_dir={tmp_path}",
+                         "+tester.bucket_pad=16384",
+                         "tester.batched.use=True",
+                         "tester.batched.batch_size=8",
+                         "tester.sampling_params.T=2",  # T=1 is degenerate (NaN schedule, matches reference)
+                         "tester.posterior_sampling.blind_hp.op_updates_per_step=1"])
+    diff_params = instantiate(args["diff_params"])
+    ds = VCTKTestPaired(fs=16000, segment_length=-1, path=AUDIO,
+                        speakers_discard=[], speakers_test=["p226", "p287"],
+                        num_examples=2, shuffle=False)
+    for i in range(2):
+        ds.test_audio[i] = ds.test_audio[i][:N]
+        ds.test_rir[i] = ds.test_rir[i][:4000]
+    # widen the 2-utterance fixture set to 8 so one full sharded batch forms
+    for j in range(2, 8):
+        ds.test_audio.append(ds.test_audio[j % 2])
+        ds.test_rir.append(ds.test_rir[j % 2])
+        ds.filenames.append(f"copy{j}_" + ds.filenames[j % 2])
+        ds.test_samples.append(ds.test_samples[j % 2])
+    t = Tester(args, tiny_bundle, diff_params, test_set=ds)
+    t.do_test()
+    mode = "blind_dereverberation"
+    rec_dir = t.paths[mode + "reconstructed"]
+    files = os.listdir(rec_dir)
+    assert len(files) == 8, files
+    from buddy_tpu.data.audio_io import read_wav
+    for f in files:
+        rec, _ = read_wav(os.path.join(rec_dir, f))
+        assert rec.shape[-1] == N and np.isfinite(rec).all()
+
+
 def test_dp8_matches_dp1_train_step():
     """One SPMD train step over the 8-device mesh produces the same loss,
     metrics, and updated params as the same step on a 1-device mesh
