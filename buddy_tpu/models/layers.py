@@ -46,25 +46,23 @@ class GroupNormAct(nn.Module):
     """GroupNorm with an optional fused activation.
 
     Parameter names match nn.GroupNorm ("scale"/"bias") so checkpoints are
-    interchangeable; when ``use_pallas`` the normalization + activation run
-    as one Pallas kernel (the TPU equivalent of the reference's hot
-    GroupNorm->SiLU chains in every ResBlock, layerspp.py:243-264).
+    interchangeable.  The XLA formulation below is already HBM-minimal for
+    the reference's hot GroupNorm->SiLU chains (layerspp.py:243-264): one
+    read for the stats reductions + one fused read/write for
+    normalize+affine+act.  A hand-written Pallas version was tried in
+    rounds 1-2 and measured 2.7x SLOWER end-to-end (it broke XLA's
+    surrounding fusions without saving traffic) — removed per the round-1
+    verdict; see CLAUDE.md.
     """
     num_groups: int
     epsilon: float = 1e-6
     act: Optional[Callable] = None
-    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        if self.use_pallas and x.ndim == 4:
-            from buddy_tpu.ops.pallas.groupnorm import fused_group_norm_act
-            return fused_group_norm_act(
-                x, scale, bias, num_groups=self.num_groups,
-                epsilon=self.epsilon, act=("silu" if self.act is jax.nn.silu else None))
         # Group over contiguous channel blocks (torch GroupNorm semantics),
         # computed from per-channel moments: reductions stay in the native
         # NHWC layout and only the tiny (B, C) stats get reshaped to groups.
@@ -175,13 +173,13 @@ class Combine(nn.Module):
 class AttnBlockpp(nn.Module):
     """Full (H*W)^2 self-attention block (layerspp.py:62-91).
 
-    Fires only at the U-Net bottleneck in the default config; the
-    use_pallas flag swaps the einsum-softmax-einsum for the fused Pallas
-    flash-attention kernel on TPU.
+    Fires only at the U-Net bottleneck in the default config (32x66
+    positions) — small enough that the einsum-softmax-einsum path is
+    already fast; a Pallas flash-attention variant measured slower
+    end-to-end and was removed (see CLAUDE.md).
     """
     skip_rescale: bool = False
     init_scale: float = 0.0
-    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -191,14 +189,10 @@ class AttnBlockpp(nn.Module):
         k = NIN(C, name="NIN_1")(h)
         v = NIN(C, name="NIN_2")(h)
 
-        if self.use_pallas:
-            from buddy_tpu.ops.pallas.attention import spatial_attention
-            h = spatial_attention(q, k, v, scale=C ** -0.5)
-        else:
-            w = jnp.einsum("bhwc,bijc->bhwij", q, k) * (C ** -0.5)
-            w = jax.nn.softmax(w.reshape(B, H, W, H * W), axis=-1)
-            w = w.reshape(B, H, W, H, W)
-            h = jnp.einsum("bhwij,bijc->bhwc", w, v)
+        w = jnp.einsum("bhwc,bijc->bhwij", q, k) * (C ** -0.5)
+        w = jax.nn.softmax(w.reshape(B, H, W, H * W), axis=-1)
+        w = w.reshape(B, H, W, H, W)
+        h = jnp.einsum("bhwij,bijc->bhwc", w, v)
         h = NIN(C, init_scale=self.init_scale, name="NIN_3")(h)
         if not self.skip_rescale:
             return x + h
@@ -313,7 +307,6 @@ class ResnetBlockBigGANpp(nn.Module):
     skip_rescale: bool = True
     init_scale: float = 0.0
     temb: bool = True
-    use_pallas: bool = False  # Pallas fused GroupNorm+SiLU on TPU
     dtype: Any = None
 
     @nn.compact
@@ -323,7 +316,7 @@ class ResnetBlockBigGANpp(nn.Module):
 
         def gn_act(ch, name):
             return GroupNormAct(num_groups=min(ch // 4, 32), epsilon=1e-6,
-                                act=self.act, use_pallas=self.use_pallas, name=name)
+                                act=self.act, name=name)
 
         h = gn_act(in_ch, "GroupNorm_0")(x)
 

@@ -57,7 +57,6 @@ class NCSNpp(nn.Module):
     dropout: float = 0.0
     centered: bool = True
     discriminative: bool = False
-    use_pallas: bool = False
     compute_dtype: Any = None  # e.g. "bfloat16" mixed precision for the body
 
     def setup(self):
@@ -96,14 +95,12 @@ class NCSNpp(nn.Module):
                 return L.ResnetBlockDDPMpp(**common)
             if self.resblock_type == "biggan":
                 return L.ResnetBlockBigGANpp(up=up, down=down, fir=self.fir,
-                                             fir_kernel=self.fir_kernel,
-                                             use_pallas=self.use_pallas, **common)
+                                             fir_kernel=self.fir_kernel, **common)
             raise ValueError(f"resblock type {self.resblock_type} unrecognized.")
 
         def AttnBlock(name):
             return L.AttnBlockpp(init_scale=self.init_scale,
-                                 skip_rescale=self.skip_rescale,
-                                 use_pallas=self.use_pallas, name=name)
+                                 skip_rescale=self.skip_rescale, name=name)
 
         # --- replicate the reference's module-construction loop exactly
         # (ncsnpp.py:115-274) so ``all_modules_{i}`` matches ``all_modules.{i}``.

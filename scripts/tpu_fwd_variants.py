@@ -29,10 +29,8 @@ def timeit(name, fn, *a, n=10):
 
 x = jax.random.normal(jax.random.PRNGKey(1), (1, AUDIO_LEN)) * 0.05
 
-for variant in sys.argv[1:] or ["base", "pallas"]:
+for variant in sys.argv[1:] or ["base", "bf16"]:
     overrides = []
-    if variant == "pallas":
-        overrides = ["network.use_pallas=True"]
     if variant == "bf16":
         overrides = ["network.compute_dtype=bfloat16"]
     args = compose("conf_VCTK.yaml", overrides)

@@ -1,6 +1,5 @@
-"""Tests for the Pallas kernels (interpret mode on CPU) and the upfirdn
-resampling ops (vs the reference's pure-PyTorch upfirdn2d_native fallback,
-op/upfirdn2d.py:171-212)."""
+"""Tests for the upfirdn resampling ops (vs the reference's pure-PyTorch
+upfirdn2d_native fallback, op/upfirdn2d.py:171-212)."""
 
 import numpy as np
 import pytest
@@ -8,76 +7,6 @@ import torch
 
 import jax
 import jax.numpy as jnp
-
-from jax.experimental.pallas import tpu as pltpu
-
-
-# ---------------------------------------------------------------------------
-# Pallas kernels (interpreter mode on CPU)
-# ---------------------------------------------------------------------------
-
-def test_pallas_groupnorm_matches_reference(rng):
-    from buddy_tpu.ops.pallas.groupnorm import fused_group_norm_act, _gn_reference
-
-    x = jnp.asarray(rng.standard_normal((2, 16, 12, 64)).astype(np.float32))
-    scale = jnp.asarray(rng.standard_normal(64).astype(np.float32))
-    bias = jnp.asarray(rng.standard_normal(64).astype(np.float32))
-
-    with pltpu.force_tpu_interpret_mode():
-        out = fused_group_norm_act(x, scale, bias, 16, 1e-6, "silu")
-    ref = _gn_reference(x, scale, bias, 16, 1e-6, "silu")
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
-
-
-def test_pallas_groupnorm_grad(rng):
-    from buddy_tpu.ops.pallas.groupnorm import fused_group_norm_act, _gn_reference
-
-    x = jnp.asarray(rng.standard_normal((1, 8, 8, 32)).astype(np.float32))
-    scale = jnp.ones(32)
-    bias = jnp.zeros(32)
-
-    def f_pallas(x):
-        with pltpu.force_tpu_interpret_mode():
-            return jnp.sum(fused_group_norm_act(x, scale, bias, 8, 1e-6, "silu") ** 2)
-
-    def f_ref(x):
-        return jnp.sum(_gn_reference(x, scale, bias, 8, 1e-6, "silu") ** 2)
-
-    g1 = jax.grad(f_pallas)(x)
-    g2 = jax.grad(f_ref)(x)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
-
-
-def test_pallas_attention_matches_reference(rng):
-    from buddy_tpu.ops.pallas.attention import spatial_attention, _reference_attention
-
-    B, H, W, C = 2, 8, 9, 32  # N=72, forces padding/masking (tile 256 > N)
-    q = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
-    k = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
-    v = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
-
-    with pltpu.force_tpu_interpret_mode():
-        out = spatial_attention(q, k, v, scale=C ** -0.5)
-    ref = _reference_attention(q.reshape(B, -1, C), k.reshape(B, -1, C),
-                               v.reshape(B, -1, C), C ** -0.5).reshape(B, H, W, C)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
-
-
-def test_pallas_model_output_unchanged(rng):
-    """NCSNpp(use_pallas=True) == NCSNpp(use_pallas=False) in interpret mode."""
-    from buddy_tpu.models.ncsnpp import NCSNpp
-
-    cfg = dict(nf=16, ch_mult=(1, 2), num_res_blocks=1, image_size=64)
-    m0 = NCSNpp(**cfg, use_pallas=False)
-    m1 = NCSNpp(**cfg, use_pallas=True)
-    x = jnp.asarray((rng.standard_normal((1, 1, 64, 16))
-                     + 1j * rng.standard_normal((1, 1, 64, 16))).astype(np.complex64))
-    t = jnp.asarray([0.2])
-    params = m0.init(jax.random.PRNGKey(0), x, t)
-    ref = m0.apply(params, x, t)
-    with pltpu.force_tpu_interpret_mode():
-        out = m1.apply(params, x, t)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
 # ---------------------------------------------------------------------------
