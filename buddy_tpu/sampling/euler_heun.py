@@ -134,25 +134,27 @@ class EulerHeunSampler(Sampler):
             x_next = x_euler
         return (x_next, rng), None
 
-    def _run(self, shape, params, rng):
+    def _run(self, shape, sharding, params, rng):
         t = self.create_schedule()
         gamma = self.get_gamma(t)
         rng, k_init = jax.random.split(rng)
         x = t[0] * jax.random.normal(k_init, shape)
+        if sharding is not None:  # shard the sample batch over the dp mesh
+            x = jax.lax.with_sharding_constraint(x, sharding)
         inputs = (t[:-1], t[1:], gamma[:-1])
         step = lambda c, i: self._scan_step(c, i, params)
         (x, _), _ = jax.lax.scan(step, (x, rng), inputs)
         return x
 
-    def predict(self, shape, rng=None, blind: bool = False):
+    def predict(self, shape, rng=None, blind: bool = False, sharding=None):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        key = ("uncond", tuple(shape))
+        key = ("uncond", tuple(shape), sharding)
         if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(partial(self._run, tuple(shape)))
+            self._jit_cache[key] = jax.jit(partial(self._run, tuple(shape), sharding))
         return self._jit_cache[key](self.net_params(), rng)
 
-    def predict_unconditional(self, shape, rng=None, **_):
-        return self.predict(shape, rng=rng)
+    def predict_unconditional(self, shape, rng=None, sharding=None, **_):
+        return self.predict(shape, rng=rng, sharding=sharding)
 
     def predict_conditional(self, *args, **kwargs):
         raise NotImplementedError

@@ -80,7 +80,13 @@ class Tester:
                                                   self.args["exp"]["audio_len"]))
         shape = (int(tcfg["unconditional"]["num_samples"]), audio_len)
         self.rng, k = jax.random.split(self.rng)
-        preds = self.sampler.predict_unconditional(shape, rng=k)
+        # shard the sample batch over the dp mesh when it divides evenly
+        sharding = None
+        if jax.device_count() > 1 and shape[0] % jax.device_count() == 0:
+            from buddy_tpu.parallel.mesh import make_mesh, batch_sharding
+            sharding = batch_sharding(make_mesh(jax.device_count()))
+        preds = self.sampler.predict_unconditional(shape, rng=k,
+                                                   sharding=sharding)
         if not self.in_training:
             for i in range(len(preds)):
                 utils_logging.write_audio_file(

@@ -195,6 +195,32 @@ def test_tester_batched_blind_sharded(tmp_path, tiny_bundle):
         assert rec.shape[-1] == N and np.isfinite(rec).all()
 
 
+def test_unconditional_sharded(tmp_path, tiny_bundle):
+    """Unconditional sampling shards the sample batch over the dp mesh when
+    num_samples divides the device count."""
+    from buddy_tpu.config import compose, instantiate
+
+    args = compose("conf_VCTK.yaml", [
+        "tester=only_unconditional", *TINY_NET,
+        "tester.sampling_params.T=2",
+        "tester.unconditional.num_samples=8",
+        f"exp.audio_len={N}",
+    ])
+    diff_params = instantiate(args["diff_params"])
+    sampler = instantiate(args["tester"]["sampler"], tiny_bundle, diff_params, args)
+
+    from buddy_tpu.parallel.mesh import make_mesh, batch_sharding
+    sh = batch_sharding(make_mesh(8))
+    preds = sampler.predict_unconditional((8, N), rng=jax.random.PRNGKey(0),
+                                          sharding=sh)
+    assert preds.shape == (8, N)
+    assert np.isfinite(np.asarray(preds)).all()
+    # and row 0 equals the unsharded program's row 0 (same rng)
+    preds0 = sampler.predict_unconditional((8, N), rng=jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(preds)[0], np.asarray(preds0)[0],
+                               rtol=2e-4, atol=1e-6)
+
+
 def test_dp8_matches_dp1_train_step():
     """One SPMD train step over the 8-device mesh produces the same loss,
     metrics, and updated params as the same step on a 1-device mesh
