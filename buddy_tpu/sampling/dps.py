@@ -143,11 +143,12 @@ class EulerHeunSamplerDPS(EulerHeunSampler):
             p = operator.project(p)
             return (p, s, H, k), None
 
-        # fully unrolled: 10 iterations of loop overhead disappear and XLA
-        # can fuse/CSE across updates (the carry is tiny — the filter params)
+        # unroll=2: halves the inner-loop iteration overhead and lets XLA
+        # fuse across update pairs without the ~10x program-size (and cold
+        # compile time) cost of a full unroll
         (op_params, opt_state, H, rng), _ = jax.lax.scan(
             inner, (op_params, opt_state, H, rng), None, length=n_updates,
-            unroll=True)
+            unroll=2 if n_updates % 2 == 0 else 1)
         return op_params, opt_state, jax.lax.stop_gradient(H), rng
 
     def _likelihood_score(self, x_den, vjp_fn, degrade):
