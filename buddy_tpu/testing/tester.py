@@ -15,6 +15,7 @@ long-utterance chunked inference; SURVEY.md §7 hard part #4).
 
 from __future__ import annotations
 
+import json
 import os
 from datetime import date
 
@@ -186,6 +187,28 @@ class Tester:
             utils_logging.write_audio_file(
                 est_rir, fs, base, path=self.paths[mode + "estimated_rir"])
         print(path_rec)
+        if self.args["tester"].get("evaluate", {}).get("use", False):
+            self._write_metrics(mode, base, seg, y, pred, rir, est_rir)
+
+    def _write_metrics(self, mode, base, seg, y, pred, rir, est_rir):
+        """Objective metrics per utterance -> <mode dir>/metrics.jsonl.
+
+        The reference computes no scores (pesq/pystoi in requirements but
+        never imported — BASELINE.md); SI-SDR/LSD/RIR-EDC here are a strict
+        addition, gated off by default."""
+        from buddy_tpu import evaluation
+        m = evaluation.evaluate_utterance(
+            seg, np.asarray(pred).reshape(-1),
+            degraded=np.asarray(y).reshape(-1),
+            true_rir=rir, est_rir=est_rir)
+        m["file"] = base
+        path = os.path.join(os.path.dirname(self.paths[mode + "reconstructed"]),
+                            "metrics.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                                for k, v in m.items()}) + "\n")
+        print(f"  metrics: si_sdr={m['si_sdr']:.2f} dB "
+              f"(degraded {m['si_sdr_degraded']:.2f}), lsd={m['lsd']:.2f}")
 
     def test_dereverberation_batched(self, mode, blind=False):
         """Batched full-test-set dereverberation (BASELINE config 5).
@@ -353,19 +376,11 @@ class Tester:
                     y_padded, operator, shape=(1, n_pad), blind=blind, rng=k_pred)
                 pred = np.asarray(pred)[..., :n]
 
-            base = os.path.basename(filename)[:-4]
-            fs = exp["sample_rate"]
-            utils_logging.write_audio_file(seg, fs, base, path=self.paths[mode + "original"])
-            utils_logging.write_audio_file(np.asarray(y), fs, base,
-                                           path=self.paths[mode + "degraded"])
-            path_rec = utils_logging.write_audio_file(
-                pred, fs, base, path=self.paths[mode + "reconstructed"])
-            utils_logging.write_audio_file(rir, fs, base, path=self.paths[mode + "true_rir"])
+            est_rir = None
             if blind:
                 est_rir = np.asarray(operator.get_time_RIR(H=operator.H))
-                utils_logging.write_audio_file(
-                    est_rir, fs, base, path=self.paths[mode + "estimated_rir"])
-            print(path_rec)
+            self._write_item_outputs(mode, seg, y, pred, rir, filename,
+                                     est_rir=est_rir)
 
     # ------------------------------------------------------------------
     # directory layout (tester.py:167-207)
