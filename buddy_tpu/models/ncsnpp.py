@@ -21,7 +21,7 @@ from __future__ import annotations
 import math
 
 _INV_SQRT2 = 1.0 / math.sqrt(2.0)  # mul beats div on the TPU VPU
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax

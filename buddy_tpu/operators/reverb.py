@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from buddy_tpu.operators.shared import Operator
 from buddy_tpu.ops.fftconv import fast_apply_rir
-from buddy_tpu.ops.stft import stft as jstft, istft as jistft, hann_window
+from buddy_tpu.ops.stft import stft as jstft, istft as jistft
 
 
 class OperatorSTFT:

@@ -25,7 +25,7 @@ explicit parameter pytree ``{"decay", "weights", "phases"}`` so the
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,6 @@ Key behavioral equivalences:
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import numpy as np
 
-import jax
 
 
 def print_model_summary(params, max_depth: int = 2) -> int:
