@@ -179,12 +179,14 @@ class Trainer:
             ema_params = jax.tree.map(
                 lambda e, p: e * s + p * (1.0 - s), ema_params, params)
 
-            metrics = {"loss": loss, "bin_sum": aux[0], "bin_sumsq": aux[1],
+            gn = optax.global_norm(grads)
+            metrics = {"loss": loss, "loss_sq": loss * loss,
+                       "bin_sum": aux[0], "bin_sumsq": aux[1],
                        "bin_count": aux[2], "count": jnp.float32(1.0),
                        # pre-clip global gradient norm — the observability
                        # counterpart of the reference's wandb.watch gradient
                        # logging (trainer.py:92-102)
-                       "grad_norm": optax.global_norm(grads)}
+                       "grad_norm": gn, "grad_norm_sq": gn * gn}
             return params, ema_params, opt_state, rng, metrics
 
         return jax.jit(train_step, donate_argnums=(0, 1, 2))
@@ -273,9 +275,9 @@ class Trainer:
 
         grad_norm_mean = float(acc["grad_norm"] / n)
         stats.report_moments("loss", n=n, total=float(acc["loss"]),
-                             total_sq=float(acc["loss"]) ** 2 / n)
+                             total_sq=float(acc["loss_sq"]))
         stats.report_moments("grad_norm", n=n, total=float(acc["grad_norm"]),
-                             total_sq=float(acc["grad_norm"]) ** 2 / n)
+                             total_sq=float(acc["grad_norm_sq"]))
         for i, s in enumerate(self.sigma_bins):
             if acc["bin_count"][i] > 0:
                 stats.report_moments(f"error_sigma_{s}",
