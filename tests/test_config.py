@@ -49,3 +49,11 @@ def test_configdict_semantics():
     assert {**d.a} == {"b": 1, "e": {"f": 3}}
     round_trip = d.to_dict()
     assert round_trip["c"][1]["d"] == 2
+
+
+def test_init_distributed_noop_without_coordinator(monkeypatch):
+    """Single-host runs (no COORDINATOR_ADDRESS) skip jax.distributed."""
+    import os
+    from buddy_tpu.parallel.mesh import init_distributed
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    assert init_distributed() is False
