@@ -141,6 +141,25 @@ class GaussianFourierProjection(nn.Module):
         return jnp.concatenate([jnp.sin(x_proj), jnp.cos(x_proj)], axis=-1)
 
 
+def get_timestep_embedding(timesteps: jax.Array, embedding_dim: int,
+                           max_positions: int = 10000) -> jax.Array:
+    """Sinusoidal positional time embedding (layers.py:517-533 upstream).
+
+    The reference's ``embedding_type='positional'`` path; the upstream
+    forward also indexes a never-defined ``self.sigmas`` into a dead
+    variable (ncsnpp.py:310) — functionally this embedding is all it does.
+    """
+    assert timesteps.ndim == 1
+    half_dim = embedding_dim // 2
+    emb = math.log(max_positions) / (half_dim - 1)
+    emb = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
+    emb = timesteps.astype(jnp.float32)[:, None] * emb[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
 class NIN(nn.Module):
     """Per-position dense C_in -> C_out (layers.py:548-557), NHWC-native."""
     num_units: int

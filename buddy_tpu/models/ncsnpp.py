@@ -117,9 +117,9 @@ class NCSNpp(nn.Module):
             if self.embedding_type == "fourier":
                 add(lambda n: L.GaussianFourierProjection(
                     embedding_size=nf, scale=self.fourier_scale, name=n))
-                embed_dim = 2 * nf
-            else:
-                raise NotImplementedError("positional embedding not implemented")
+            # "positional" consumes no module: sinusoidal features are
+            # computed functionally in __call__ (reference ncsnpp.py:307-311,
+            # module construction ncsnpp.py:166-168 appends nothing).
             add(lambda n: nn.Dense(nf * 4, kernel_init=L.default_init(),
                                    bias_init=nn.initializers.zeros, name=n))
             add(lambda n: nn.Dense(nf * 4, kernel_init=L.default_init(),
@@ -232,7 +232,10 @@ class NCSNpp(nn.Module):
             h0 = h0.astype(self._cdtype)
 
         if self._time_conditional and time_cond is not None:
-            temb = modules[m_idx](time_cond); m_idx += 1
+            if self.embedding_type == "fourier":
+                temb = modules[m_idx](time_cond); m_idx += 1
+            else:  # positional: sinusoidal, no module (ncsnpp.py:307-311)
+                temb = L.get_timestep_embedding(time_cond, self.nf)
             if self._cdtype is not None:
                 temb = temb.astype(self._cdtype)
             temb = modules[m_idx](temb); m_idx += 1

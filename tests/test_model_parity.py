@@ -93,6 +93,41 @@ def test_forward_parity_default_config(rng):
     np.testing.assert_allclose(ours, ref, atol=5e-4 * scale, rtol=2e-3)
 
 
+def test_forward_parity_positional_embedding(rng):
+    """embedding_type=positional: sinusoidal temb, no Fourier module.
+
+    The reference forward also indexes ``self.sigmas`` (ncsnpp.py:310) — an
+    attribute its __init__ never defines (AttributeError upstream) and whose
+    result is dead.  We patch a dummy onto the torch model so its forward
+    runs; our port simply omits the dead lookup.
+    """
+    TorchNCSNpp, _ = _load_ref_ncsnpp()
+    cfg = {**SMALL, "embedding_type": "positional"}
+    torch.manual_seed(3)
+    tmodel = TorchNCSNpp(**cfg).eval()
+    tmodel.sigmas = torch.zeros(10000)  # dead upstream lookup (ncsnpp.py:310)
+
+    from buddy_tpu.models.ncsnpp import NCSNpp
+    from buddy_tpu.models.convert import convert_torch_state_dict
+    jmodel = NCSNpp(**{**cfg, "ch_mult": tuple(SMALL["ch_mult"]),
+                       "attn_resolutions": tuple(SMALL["attn_resolutions"])})
+    params = convert_torch_state_dict(tmodel.state_dict(), wrap_time=False)
+
+    n_torch = sum(p.numel() for p in tmodel.state_dict().values())
+    n_jax = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    assert n_torch == n_jax  # no GaussianFourier W in either
+
+    x = (rng.standard_normal((2, 1, 64, 48))
+         + 1j * rng.standard_normal((2, 1, 64, 48))).astype(np.complex64)
+    timesteps = np.asarray([3.0, 17.0], dtype=np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x), torch.from_numpy(timesteps)).numpy()
+    ours = np.asarray(jmodel.apply(params, jnp.asarray(x), jnp.asarray(timesteps)))
+    assert ours.shape == ref.shape
+    scale = max(np.abs(ref).max(), 1e-3)
+    np.testing.assert_allclose(ours, ref, atol=2e-4 * scale, rtol=1e-3)
+
+
 def test_forward_parity_time_wrapper(rng):
     """Full NCSNppTime (STFT -> U-Net -> ISTFT) parity on waveforms."""
     _, TorchNCSNppTime = _load_ref_ncsnpp()
