@@ -85,10 +85,14 @@ class EulerHeunSamplerDPS(EulerHeunSampler):
         if blind:
             self.rec_loss_params = get_loss(ps["rec_loss_params"], operator=operator)
             reg_cfg = ps.get("RIR_noise_regularization", None)
-            if reg_cfg is not None and reg_cfg.get("use", False):
+            # the reference never reads the ``use`` key: the reg loss is
+            # active iff loss.name != "none" (EulerHeunSamplerDPS.py:95,199;
+            # get_loss returns None for "none") — match that exactly
+            if reg_cfg is not None:
                 self.reg_loss = get_loss(reg_cfg["loss"], operator=operator)
-                self.reg_sigma_min = float(reg_cfg["crop_sigma_min"])
-                self.reg_sigma_max = float(reg_cfg["crop_sigma_max"])
+                if self.reg_loss is not None:
+                    self.reg_sigma_min = float(reg_cfg["crop_sigma_min"])
+                    self.reg_sigma_max = float(reg_cfg["crop_sigma_max"])
 
     def _make_opt(self):
         bh = self.ps["blind_hp"]

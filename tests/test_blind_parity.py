@@ -32,10 +32,12 @@ def make_blind_args(op_updates=3, reg_use=False):
                      constraint_speech=True)
     args.tester.posterior_sampling.rec_loss_params = ConfigDict(
         {"name": "l2_comp_stft_summean", "weight": 512, "compression_factor": 0.667})
+    # the reference gates the reg loss solely on loss.name != "none"
+    # (the ``use`` key is decorative upstream) — mirror that here
     args.tester.posterior_sampling.RIR_noise_regularization = ConfigDict({
         "use": reg_use, "crop_sigma_max": 0.01, "crop_sigma_min": 5e-4,
-        "loss": {"name": "l2_comp_stft_summean", "weight": 2560,
-                 "compression_factor": 0.667}})
+        "loss": {"name": "l2_comp_stft_summean" if reg_use else "none",
+                 "weight": 2560, "compression_factor": 0.667}})
     args.tester.posterior_sampling.blind_hp = ConfigDict({
         "optimizer": "adam", "lr_op": 0.1, "beta1": 0.9, "beta2": 0.99,
         "noise": 0.1, "lr_op_phase": 1, "weight_decay": 0,
@@ -141,6 +143,62 @@ def test_blind_step_parity(blind_setup):
     np.testing.assert_allclose(H_j, ref_H, atol=2e-2)
     np.testing.assert_allclose(np.asarray(xden_j), xden_ref, atol=1e-3)
     np.testing.assert_allclose(x_j, x_ref, atol=5e-3)
+
+
+def test_full_program_blind_waveform_parity(blind_setup):
+    """Full-program BLIND parity (VERDICT r2 item 4): the reference's own
+    predict_conditional (which builds losses + the operator Adam and runs the
+    complete T=5 predict loop with 3 inner updates per step) vs our jitted
+    scan program — final waveform AND final operator parameters.  The warm
+    init (mode "none") noise draw is shared by patching initialize_x; the
+    reg loss resolves to None on both sides (name "none"), so the program is
+    fully deterministic."""
+    args = blind_setup["args"]
+    ref_op, our_op = blind_setup["ref_op"], blind_setup["our_op"]
+    y = blind_setup["y"]
+    decay, weights, phases = blind_setup["params"]
+
+    # module-scoped fixture: earlier tests mutate ref_op in place — re-sync
+    with torch.no_grad():
+        ref_op.params[0].data = torch.from_numpy(decay.copy())
+        ref_op.params[1].data = torch.from_numpy(weights.copy())
+        ref_op.params_phases[0].data = torch.from_numpy(phases.copy())
+        ref_op.update_H()
+
+    RefDPS, RefEDM = blind_setup["RefDPS"], blind_setup["RefEDM"]
+    ref_edm = RefEDM("ve_karras", args.tester.sampling_params.sde_hp)
+    ref = RefDPS(_TorchMockNet(), ref_edm, args)
+    t0 = float(ref.create_schedule()[0])
+    rng = np.random.default_rng(23)
+    eps = rng.standard_normal((1, 4096)).astype(np.float32)
+    x_init = (t0 * eps).astype(np.float32)
+    ref.initialize_x = lambda shape, device, schedule: torch.from_numpy(x_init.copy())
+    ref_out = ref.predict_conditional(torch.from_numpy(y.copy()), ref_op,
+                                      shape=(1, 4096), blind=True).detach().numpy()
+    assert ref.RIR_noise_regularization_loss is None  # name "none" upstream too
+    ref_decay = ref_op.params[0].detach().numpy()
+    ref_weights = ref_op.params[1].detach().numpy()
+
+    # ---- jax side
+    edm = EDM(sde_hp=dict(args.tester.sampling_params.sde_hp))
+    ours = EulerHeunSamplerDPS(model=_jax_mock_net, diff_params=edm, args=args)
+    our_op.params = {"decay": jnp.asarray(decay), "weights": jnp.asarray(weights),
+                     "phases": jnp.asarray(phases)}
+    our_op.H = our_op.compute_H(our_op.params)
+    ours.initialize_x = lambda y_, shape, rng_, t0_: jnp.asarray(x_init)
+    ours_out = np.asarray(ours.predict_conditional(
+        jnp.asarray(y), our_op, shape=(1, 4096), blind=True,
+        rng=jax.random.PRNGKey(0)))
+
+    assert ours_out.shape == ref_out.shape
+    assert np.isfinite(ours_out).all()
+    scale = max(np.abs(ref_out).max(), 1e-3)
+    np.testing.assert_allclose(ours_out, ref_out, atol=1e-2 * scale)
+    # final operator parameters track the reference over 5x3 Adam updates
+    np.testing.assert_allclose(np.asarray(our_op.params["decay"]), ref_decay,
+                               rtol=5e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(our_op.params["weights"]), ref_weights,
+                               rtol=5e-3, atol=5e-3)
 
 
 def test_rir_noise_regularization_grad_parity(blind_setup):

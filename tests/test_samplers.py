@@ -173,6 +173,57 @@ def test_informed_dps_step_parity(ref_samplers, rng):
     np.testing.assert_allclose(x_j, x_ref, atol=2e-3)
 
 
+def test_full_program_informed_waveform_parity(ref_samplers, rng):
+    """Full-program parity (VERDICT r2 item 4): the reference's complete
+    predict_conditional()/predict() loop — T=5, Schurn=0, order=1,
+    reverb_scaled warm init — vs our jitted scan program, comparing FINAL
+    waveforms so step-level tolerances that compound over T steps and any
+    carry-wiring bug are caught.  The only stochastic element (the warm-init
+    noise draw) is shared by patching initialize_x on both sides with the
+    same array; everything downstream is deterministic."""
+    _, RefDPS, RefEDM = ref_samplers
+    from testing.operators.reverb import RIROperator as RefRIR
+    from buddy_tpu.operators.reverb import RIROperator
+
+    args = make_args(T=5, order=1, Schurn=0.0, warm="reverb_scaled")
+    op_hp = ConfigDict({"NFFT": 1024, "win_length": 512, "hop": 128, "window": "hann"})
+
+    rir = (rng.standard_normal(1000) * np.exp(-np.arange(1000) / 150)).astype(np.float32)
+    rir[0] = 1.0
+    x_clean = rng.standard_normal((1, 4096)).astype(np.float32) * 0.05
+
+    # ---- torch side: the reference's own predict_conditional end to end
+    ref_edm = RefEDM("ve_karras", args.tester.sampling_params.sde_hp)
+    ref = RefDPS(_TorchMockNet(), ref_edm, args)
+    ref_op = RefRIR(op_hp, time_kernel_size=1000, sample_rate=16000)
+    ref_op.update_params(torch.from_numpy(rir.copy()))
+    y_t = ref_op.degradation(torch.from_numpy(x_clean.copy()))
+    y = y_t.detach().numpy()
+
+    t0 = float(ref.create_schedule()[0])
+    sf = float(args.tester.posterior_sampling.warm_initialization.scaling_factor)
+    eps = rng.standard_normal((1, 4096)).astype(np.float32)
+    x_init = (sf * y / y.std(ddof=1) + t0 * eps).astype(np.float32)
+    ref.initialize_x = lambda shape, device, schedule: torch.from_numpy(x_init.copy())
+    ref_out = ref.predict_conditional(y_t, ref_op, shape=(1, 4096),
+                                      blind=False).detach().numpy()
+
+    # ---- jax side: our full jitted program
+    edm = EDM(sde_hp=dict(args.tester.sampling_params.sde_hp))
+    ours = EulerHeunSamplerDPS(model=_jax_mock_net, diff_params=edm, args=args)
+    our_op = RIROperator(op_hp, time_kernel_size=1000, sample_rate=16000)
+    our_op.update_params(jnp.asarray(rir))
+    ours.initialize_x = lambda y_, shape, rng_, t0_: jnp.asarray(x_init)
+    ours_out = np.asarray(ours.predict_conditional(
+        jnp.asarray(y), our_op, shape=(1, 4096), blind=False,
+        rng=jax.random.PRNGKey(0)))
+
+    assert ours_out.shape == ref_out.shape
+    assert np.isfinite(ours_out).all()
+    scale = max(np.abs(ref_out).max(), 1e-3)
+    np.testing.assert_allclose(ours_out, ref_out, atol=5e-3 * scale)
+
+
 def test_wpe_reduces_reverb(rng):
     """WPE warm init: late-reverb energy of the output is below the input's."""
     from buddy_tpu.sampling.wpe import wpe_dereverb
