@@ -33,11 +33,8 @@ import numpy as np
 
 from buddy_tpu.operators.reverb import OperatorSTFT
 from buddy_tpu.operators.shared import Operator
+from buddy_tpu.ops.fftconv import good_fft_size
 from buddy_tpu.ops.minphase import minimum_phase_version
-
-
-def _next_pow2(n: int) -> int:
-    return 1 << (int(n) - 1).bit_length()
 
 
 class SubbandFiltering(Operator):
@@ -87,7 +84,7 @@ class SubbandFiltering(Operator):
         pre = self.win_length // self.hop_length // 2 - 1  # 1 for 512/128
         T = X.shape[-1]
         Nf = H.shape[-1]
-        fft_size = _next_pow2(T + Nf - 1)
+        fft_size = good_fft_size(T + Nf - 1)
         if Xf is None:
             Xf = jnp.fft.fft(X, n=fft_size, axis=-1)
         Hf = jnp.fft.fft(H, n=fft_size, axis=-1)
@@ -98,7 +95,7 @@ class SubbandFiltering(Operator):
         """Frame-axis FFT of a spectrogram at the conv size used by
         ``subband_filtering`` — lets callers hoist the FFT of a constant X
         out of the blind inner loop (10 re-uses per diffusion step)."""
-        fft_size = _next_pow2(X.shape[-1] + self.Nf - 1)
+        fft_size = good_fft_size(X.shape[-1] + self.Nf - 1)
         return jnp.fft.fft(X, n=fft_size, axis=-1)
 
     def degradation(self, x: jax.Array | None, mode: str = "waveform",
@@ -162,7 +159,7 @@ class SubbandFiltering(Operator):
         # diffusion step) only FFTs the H side
         X_imp = self._impulse_stft()
         if not hasattr(self, "_X_imp_f"):
-            fft_size = _next_pow2(X_imp.shape[-1] + self.Nf - 1)
+            fft_size = good_fft_size(X_imp.shape[-1] + self.Nf - 1)
             self._X_imp_f = np.fft.fft(X_imp, n=fft_size, axis=-1).astype(np.complex64)
         y = self.degradation(None, H=H, X=jnp.asarray(X_imp),
                              Xf=jnp.asarray(self._X_imp_f),
