@@ -16,12 +16,21 @@ class NetworkBundle:
     def __call__(self, x, cnoise):
         return self.module.apply(self.params, x, cnoise)
 
-    def init(self, rng, x, cnoise):
+    def init(self, rng, x, cnoise, cache_dir: str | None = None):
         # Initialize on the host CPU backend: the init program is traced and
         # compiled like any jit, and compiling the full U-Net graph over a
         # remote TPU tunnel costs minutes for a one-off that pure CPU does in
         # seconds.  Params transfer to the accelerator at first use.
+        #
+        # Even the CPU init compile costs minutes for the production U-Net on
+        # a small host (BENCH_r01: 136 s of bench setup), so the initialized
+        # pytree is cached on disk keyed by (module config, input spec, seed)
+        # — a warm start loads it in seconds.  Opt out: BUDDY_PARAM_CACHE=0.
         import jax
+        cached = self._load_param_cache(rng, x, cnoise, cache_dir)
+        if cached is not None:
+            self.params = jax.device_put(cached, jax.devices()[0])
+            return self.params
         try:
             cpu = jax.devices("cpu")[0]
         except RuntimeError:
@@ -30,6 +39,7 @@ class NetworkBundle:
             try:
                 with jax.default_device(cpu):
                     self.params = self.module.init(rng, x, cnoise)
+                self._save_param_cache(rng, x, cnoise, cache_dir)
                 # pin to the accelerator: params left on the host would be
                 # re-transferred on every apply (111 MB/call over the tunnel)
                 default = jax.devices()[0]
@@ -43,6 +53,61 @@ class NetworkBundle:
         else:
             self.params = self.module.init(rng, x, cnoise)
         return self.params
+
+    # --- init-params disk cache (cold-start: VERDICT r2 item 6) ----------
+    def _param_cache_path(self, rng, x, cnoise, cache_dir):
+        import hashlib
+        import os
+        if os.environ.get("BUDDY_PARAM_CACHE", "1") == "0":
+            return None
+        import numpy as np
+        cache_dir = cache_dir or os.environ.get(
+            "BUDDY_PARAM_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))), ".param_cache"))
+        spec = (f"{self.module!r}|{tuple(x.shape)}|{x.dtype}|"
+                f"{tuple(cnoise.shape)}|{np.asarray(rng).tobytes().hex()}")
+        key = hashlib.sha1(spec.encode()).hexdigest()[:20]
+        return os.path.join(cache_dir, f"init-{key}.npz")
+
+    def _load_param_cache(self, rng, x, cnoise, cache_dir):
+        import os
+        path = self._param_cache_path(rng, x, cnoise, cache_dir)
+        if path is None or not os.path.exists(path):
+            return None
+        import numpy as np
+        try:
+            with np.load(path) as z:
+                flat = {k: z[k] for k in z.files}
+        except Exception:
+            return None
+        tree: dict = {}
+        for k, v in flat.items():
+            node = tree
+            *parents, leaf = k.split("/")
+            for p in parents:
+                node = node.setdefault(p, {})
+            node[leaf] = v
+        return tree
+
+    def _save_param_cache(self, rng, x, cnoise, cache_dir):
+        import os
+        path = self._param_cache_path(rng, x, cnoise, cache_dir)
+        if path is None:
+            return
+        import jax
+        import numpy as np
+        flat = {}
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(self.params)[0]:
+            name = "/".join(getattr(p, "key", str(p)) for p in kp)
+            arr = np.asarray(leaf)
+            if arr.dtype == np.dtype("bfloat16"):  # npz can't store bf16
+                return
+            flat[name] = arr
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp.npz"  # savez appends .npz unless already present
+        np.savez(tmp, **flat)
+        os.replace(tmp, path)
 
     @property
     def num_params(self) -> int:
