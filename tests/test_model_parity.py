@@ -151,3 +151,56 @@ def test_forward_parity_time_wrapper(rng):
     assert ours.shape == ref.shape
     scale = max(np.abs(ref).max(), 1e-3)
     np.testing.assert_allclose(ours, ref, atol=3e-3 * scale)
+
+
+def test_legacy_checkpoint_formats(small_pair, tmp_path):
+    """Every historical .pt layout the reference's 7-strategy loader
+    handles (training_utils.py:88-178, tester.py:78-93) converts to the
+    same Flax params as a direct state-dict conversion:
+
+    * ``{'ema': sd}`` (modern, tester.py:49),
+    * ``{'model': sd, 'ema_weights': [t]}`` zipped by key order,
+    * the requires_grad-filtered zip (ema list covers trainable tensors
+      only — buffers like GaussianFourierProjection.W come from 'model'),
+    * ``diffusion.`` / ``diffusion_ema.`` prefixed flat dicts.
+    """
+    tmodel, _, base = small_pair
+    from buddy_tpu.models.convert import load_torch_checkpoint
+    sd = tmodel.state_dict()
+    base_flat = jax.tree.leaves(base)
+
+    def check(state, expect_flat, it=5):
+        p = tmp_path / "ck.pt"
+        torch.save({"it": it, **state}, str(p))
+        params, got_it = load_torch_checkpoint(str(p), wrap_time=False)
+        assert got_it == it
+        got = jax.tree.leaves(params)
+        assert len(got) == len(expect_flat)
+        for a, b in zip(got, expect_flat):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # modern 'ema' key
+    check({"ema": sd}, base_flat)
+
+    # legacy zip, same length (tester.py:78-87)
+    check({"model": sd, "ema_weights": [v.clone() for v in sd.values()]},
+          base_flat)
+
+    # requires_grad-filtered zip (training_utils.py:117-127): the filter
+    # reads requires_grad off the SAVED tensors, so such checkpoints carry
+    # live Parameters (keep_vars) — perturb the trainable ema tensors;
+    # loaded params must reflect the perturbation for trainables and keep
+    # the non-trainable GaussianFourierProjection.W from 'model'
+    sd_vars = tmodel.state_dict(keep_vars=True)
+    trainable = [k for k, v in sd_vars.items() if v.requires_grad]
+    assert 0 < len(trainable) < len(sd)  # model has both kinds
+    ema_w = [sd[k].detach() + 1.0 for k in trainable]
+    from buddy_tpu.models.convert import convert_torch_state_dict
+    merged = {k: (sd[k].detach() + 1.0 if k in trainable else sd[k])
+              for k in sd}
+    check({"model": sd_vars, "ema_weights": ema_w},
+          jax.tree.leaves(convert_torch_state_dict(merged, wrap_time=False)))
+
+    # diffusion_ema. prefix strip (training_utils.py:131-178)
+    check({"network": {f"diffusion_ema.{k}": v for k, v in sd.items()}},
+          base_flat)
