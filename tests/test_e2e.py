@@ -282,6 +282,70 @@ def test_chunked_blind_matches_unchunked(tmp_path):
     assert corr > 0.75, f"chunked/unchunked decorrelated: corr={corr:.3f}"
 
 
+def test_chunked_informed_matches_unchunked(tmp_path):
+    """Chunked-vs-unchunked in INFORMED mode with every stochastic/structural
+    confound removed, so the gates are tight enough to catch sub-seam drift
+    (VERDICT r2 item 7):
+
+    * stationary input (white noise, not speech) — the oracle denoiser and
+      the warm init both normalize by per-program std, so with equal chunk
+      stds the per-chunk-gain confound of the blind variant vanishes;
+    * short RIR (500 taps << 4096-sample overlap) — the reverb tail leaking
+      across chunk boundaries stays inside the crossfade region;
+    * sigma_max=1e-3 << the 0.05 signal scale — the per-chunk random warm
+      init noise is ~2% of signal, and Schurn=0 removes churn noise.
+
+    What remains is the chunk plumbing itself: alignment, hann crossfade,
+    operator reuse, guidance scaling across chunk lengths.  Gates are
+    calibrated value +10% (measured on this config: rel=0.0459,
+    corr=0.99895)."""
+    from buddy_tpu.config import instantiate
+    from buddy_tpu.testing.tester import Tester
+    from buddy_tpu.data.vctk import VCTKTestPaired
+
+    rng0 = np.random.default_rng(0)
+    n_long = 40000
+    sig = rng0.standard_normal(n_long).astype(np.float32)
+    rir = (rng0.standard_normal(500)
+           * np.exp(-np.arange(500) / 80.0)).astype(np.float32)
+    rir[0] = 1.0
+
+    def build(threshold):
+        args = compose_args(
+            "informed_dereverberation_DPS",
+            ["tester.sampling_params.T=5",
+             "tester.sampling_params.Schurn=0",
+             "tester.sampling_params.sde_hp.sigma_max=1e-3",
+             "tester.sampling_params.sde_hp.sigma_min=1e-5",
+             f"model_dir={tmp_path}",
+             "+tester.bucket_pad=8192",
+             f"+tester.chunked.threshold={threshold}",
+             "+tester.chunked.chunk_size=16384",
+             "+tester.chunked.overlap=4096"])
+        diff_params = instantiate(args["diff_params"])
+        ds = VCTKTestPaired(fs=16000, segment_length=-1, path=AUDIO,
+                            speakers_discard=[], speakers_test=["p226"],
+                            num_examples=1, shuffle=False)
+        ds.test_audio[0] = sig.copy()
+        ds.test_rir[0] = rir.copy()
+        t = Tester(args, _oracle_net(diff_params), diff_params, test_set=ds,
+                   rng=jax.random.PRNGKey(123))
+        t.do_test()
+        rec, _ = _read(t.paths["informed_dereverberation" + "reconstructed"])
+        import shutil
+        shutil.rmtree(t.path_sampling)
+        return rec
+
+    full = build(threshold=163840)    # unchunked
+    chunked = build(threshold=16384)  # 3 chunks
+    assert full.shape == chunked.shape
+    assert np.isfinite(chunked).all()
+    rel = np.linalg.norm(chunked - full) / (np.linalg.norm(full) + 1e-12)
+    assert rel < 0.0505, f"chunked informed output drifted: rel={rel:.4f}"
+    corr = np.corrcoef(chunked.ravel(), full.ravel())[0, 1]
+    assert corr > 0.99884, f"chunked informed decorrelated: corr={corr:.5f}"
+
+
 def _make_trainer(tmp_path, resume: bool):
     """A trainer over a constant batch (deterministic trajectory)."""
     from buddy_tpu.config import compose, instantiate
