@@ -49,8 +49,22 @@ def _safe_mag_phase(X):
 
 
 def _compress(X, factor: float):
-    mag, phase = _safe_mag_phase(X)
-    return (mag + 1e-8) ** factor * phase
+    """Power-law compression ``(|X|+1e-8)^c * e^{j angle(X)}``.
+
+    Computed as ``X * (|X|+1e-8)^c / |X|`` — same math (the unit phasor is
+    X/|X|), but the complex division by |X| collapses into a single real
+    scale factor: no angle/exp pass and one complex-by-real multiply
+    instead of a complex divide + complex multiply.  The backend doesn't
+    fuse standalone elementwise chains (CLAUDE.md gotcha 6) and this chain
+    runs 2x per inner update x 10 updates x T steps over the full
+    spectrogram, so every dropped pass is HBM bandwidth saved.  Zero bins
+    keep the torch abs/angle convention: value (1e-8)^c + 0j, gradient 0.
+    """
+    zero = (X.real == 0) & (X.imag == 0)
+    safe = jnp.where(zero, 1.0 + 0.0j, X)
+    mag = jnp.abs(safe)
+    scale = (mag + 1e-8) ** factor / mag
+    return jnp.where(zero, (1e-8) ** factor + 0.0j, safe * scale)
 
 
 def get_loss(loss_args, operator=None) -> Optional[Callable]:
@@ -94,8 +108,13 @@ def get_loss(loss_args, operator=None) -> Optional[Callable]:
             if name in ("l2_comp_stft_sum", "l2_comp_stft_mean", "l2_comp_stft_summean"):
                 return _compress(X, compression_factor)
             if name == "l2_log_stft_sum":
-                mag, ph = _safe_mag_phase(X)
-                return jnp.log(1 + mag) * ph
+                # log(1+|X|) * X/|X| with the same collapsed real-scale
+                # trick (and zero convention) as _compress
+                zero = (X.real == 0) & (X.imag == 0)
+                safe = jnp.where(zero, 1.0 + 0.0j, X)
+                mag = jnp.abs(safe)
+                return jnp.where(zero, 0.0 + 0.0j,
+                                 safe * (jnp.log1p(mag) / mag))
             raise NotImplementedError(f"rec_loss {name} not implemented")
 
         def loss_fn(x, x_hat, x_prepared: bool = False):

