@@ -27,9 +27,14 @@ class NetworkBundle:
         # pytree is cached on disk keyed by (module config, input spec, seed)
         # — a warm start loads it in seconds.  Opt out: BUDDY_PARAM_CACHE=0.
         import jax
+        import jax.numpy as jnp
         cached = self._load_param_cache(rng, x, cnoise, cache_dir)
         if cached is not None:
-            self.params = jax.device_put(cached, jax.devices()[0])
+            # uncommitted transfer to the default device: an explicit
+            # device_put(…, devices()[0]) would *commit* the params to one
+            # device and poison any later jit that spans a multi-device mesh
+            # (the dp-sharded tester / unconditional sampling)
+            self.params = jax.tree.map(jnp.asarray, cached)
             return self.params
         try:
             cpu = jax.devices("cpu")[0]
