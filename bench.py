@@ -78,6 +78,7 @@ def main():
     T_STEPS = int(os.environ.get("BENCH_T", 50))
     B = int(os.environ.get("BENCH_B", 8))
     DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
+    INT8 = os.environ.get("BENCH_INT8", "0") == "1"
     AUDIO_LEN = 65536  # 4.096 s @ 16 kHz
     SR = 16000
 
@@ -85,6 +86,7 @@ def main():
         "tester=blind_dereverberation_BUDDy",
         f"tester.sampling_params.T={T_STEPS}",
         f"network.compute_dtype={DTYPE}",
+        f"network.quantize_int8={str(INT8).lower()}",
     ])
 
     # flagship network (nf=128, ch_mult [1,2,2,2]) with random weights —
@@ -190,7 +192,7 @@ def main():
         "score_net_ms_per_step": round(scorenet_ms, 3),
         "blind_50step_wall_s": round(wall, 3) if wall else None,
         "batch": B,
-        "dtype": DTYPE,
+        "dtype": DTYPE + ("+int8" if INT8 else ""),
         "audio_seconds": round(audio_seconds, 3),
         "compile_s": round(compile_s, 1) if compile_s else None,
         "setup_s": round(time.time() - t_setup, 1),

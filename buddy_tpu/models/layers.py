@@ -94,18 +94,27 @@ def group_norm(ch: int, name: str) -> GroupNormAct:
 
 
 def conv3x3(out_ch: int, *, init_scale: float = 1.0, stride: int = 1,
-            bias: bool = True, dtype=None, name: str) -> nn.Conv:
-    return nn.Conv(out_ch, (3, 3), strides=(stride, stride),
-                   padding=((1, 1), (1, 1)), use_bias=bias,
-                   kernel_init=default_init(init_scale),
-                   bias_init=nn.initializers.zeros, dtype=dtype, name=name)
+            bias: bool = True, dtype=None, quant: bool = False,
+            name: str) -> nn.Module:
+    cls = nn.Conv
+    if quant:
+        from buddy_tpu.ops.qconv import QConv
+        cls = QConv
+    return cls(out_ch, (3, 3), strides=(stride, stride),
+               padding=((1, 1), (1, 1)), use_bias=bias,
+               kernel_init=default_init(init_scale),
+               bias_init=nn.initializers.zeros, dtype=dtype, name=name)
 
 
 def conv1x1(out_ch: int, *, init_scale: float = 1.0, bias: bool = True,
-            dtype=None, name: str) -> nn.Conv:
-    return nn.Conv(out_ch, (1, 1), use_bias=bias,
-                   kernel_init=default_init(init_scale),
-                   bias_init=nn.initializers.zeros, dtype=dtype, name=name)
+            dtype=None, quant: bool = False, name: str) -> nn.Module:
+    cls = nn.Conv
+    if quant:
+        from buddy_tpu.ops.qconv import QConv
+        cls = QConv
+    return cls(out_ch, (1, 1), use_bias=bias,
+               kernel_init=default_init(init_scale),
+               bias_init=nn.initializers.zeros, dtype=dtype, name=name)
 
 
 def naive_upsample_2d(x: jax.Array, factor: int = 2) -> jax.Array:
@@ -327,6 +336,7 @@ class ResnetBlockBigGANpp(nn.Module):
     init_scale: float = 0.0
     temb: bool = True
     dtype: Any = None
+    qconv: bool = False  # int8 convs (ops/qconv.py), STE gradients
 
     @nn.compact
     def __call__(self, x, temb=None, *, deterministic: bool = True):
@@ -356,7 +366,7 @@ class ResnetBlockBigGANpp(nn.Module):
                 h = naive_downsample_2d(h)
                 x = naive_downsample_2d(x)
 
-        h = conv3x3(out_ch, dtype=self.dtype, name="Conv_0")(h)
+        h = conv3x3(out_ch, dtype=self.dtype, quant=self.qconv, name="Conv_0")(h)
         if temb is not None:
             h = h + nn.Dense(out_ch, kernel_init=default_init(),
                              bias_init=nn.initializers.zeros, dtype=self.dtype,
@@ -365,10 +375,10 @@ class ResnetBlockBigGANpp(nn.Module):
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = conv3x3(out_ch, init_scale=self.init_scale, dtype=self.dtype,
-                    name="Conv_1")(h)
+                    quant=self.qconv, name="Conv_1")(h)
 
         if in_ch != out_ch or self.up or self.down:
-            x = conv1x1(out_ch, dtype=self.dtype, name="Conv_2")(x)
+            x = conv1x1(out_ch, dtype=self.dtype, quant=self.qconv, name="Conv_2")(x)
 
         if not self.skip_rescale:
             return x + h

@@ -58,6 +58,9 @@ class NCSNpp(nn.Module):
     centered: bool = True
     discriminative: bool = False
     compute_dtype: Any = None  # e.g. "bfloat16" mixed precision for the body
+    # int8 resblock convs with STE grads (ops/qconv.py) — the lower-precision
+    # path past the bf16 RTF ceiling; off by default for reference parity
+    quantize_int8: bool = False
 
     def setup(self):
         act = L.get_act(self.nonlinearity)
@@ -95,7 +98,8 @@ class NCSNpp(nn.Module):
                 return L.ResnetBlockDDPMpp(**common)
             if self.resblock_type == "biggan":
                 return L.ResnetBlockBigGANpp(up=up, down=down, fir=self.fir,
-                                             fir_kernel=self.fir_kernel, **common)
+                                             fir_kernel=self.fir_kernel,
+                                             qconv=self.quantize_int8, **common)
             raise ValueError(f"resblock type {self.resblock_type} unrecognized.")
 
         def AttnBlock(name):

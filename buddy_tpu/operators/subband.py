@@ -33,6 +33,7 @@ import numpy as np
 
 from buddy_tpu.operators.reverb import OperatorSTFT
 from buddy_tpu.operators.shared import Operator
+from buddy_tpu.ops import dft
 from buddy_tpu.ops.fftconv import good_fft_size
 from buddy_tpu.ops.minphase import minimum_phase_version
 
@@ -86,17 +87,18 @@ class SubbandFiltering(Operator):
         Nf = H.shape[-1]
         fft_size = good_fft_size(T + Nf - 1)
         if Xf is None:
-            Xf = jnp.fft.fft(X, n=fft_size, axis=-1)
-        Hf = jnp.fft.fft(H, n=fft_size, axis=-1)
-        full = jnp.fft.ifft(Xf * Hf, axis=-1)  # full conv, length T+Nf-1
-        return jax.lax.dynamic_slice_in_dim(full, pre, T, axis=-1)
+            Xf = dft.cfft(X, fft_size)
+        # H-side transform + windowed inverse as MXU matmuls (ops/dft.py):
+        # this pair runs 10x per diffusion step in the blind inner loop
+        Hf = dft.cfft(H, fft_size)
+        return dft.icfft_slice(Xf * Hf, fft_size, pre, T)
 
     def frame_fft(self, X: jax.Array) -> jax.Array:
         """Frame-axis FFT of a spectrogram at the conv size used by
         ``subband_filtering`` — lets callers hoist the FFT of a constant X
         out of the blind inner loop (10 re-uses per diffusion step)."""
         fft_size = good_fft_size(X.shape[-1] + self.Nf - 1)
-        return jnp.fft.fft(X, n=fft_size, axis=-1)
+        return dft.cfft(X, fft_size)
 
     def degradation(self, x: jax.Array | None, mode: str = "waveform",
                     H: jax.Array | None = None, detach_operator: bool = False,

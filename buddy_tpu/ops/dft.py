@@ -1,0 +1,150 @@
+"""Small DFTs as MXU matmuls (TPU) with jnp.fft fallback (CPU).
+
+Why this exists: the blind-DPS inner loop performs ~100 short transforms per
+diffusion step (frame-axis convolutions of the subband filter, 1024-point
+per-frame STFT/ISTFT inside the cons() projection, the loss re-STFT of
+y_hat).  Profiling on the v5e (BENCH_builder_r03 trace) shows XLA's TPU FFT
+running these at ~100 GFLOP/s — ~0.05% of the chip's matmul rate — for
+43 ms of every 232 ms step.  A transform of length N is a matmul against a
+constant (N x N-ish) cos/sin matrix; for the N <= 4096 sizes used here the
+MXU does that 1-2 orders of magnitude faster than the FFT path, and the
+constants (<= ~4 MB) fit comfortably.
+
+All matmuls run at ``Precision.HIGHEST`` (true f32 accumulation): the
+operators' filter-design chain is numerically delicate (log/exp, min-phase
+cepstrum), and default-precision bf16 passes would inject ~1e-2 relative
+error.  Measured accuracy vs jnp.fft at f32 is ~1e-6 relative.
+
+Autodiff: these are plain dot_generals, so JAX derives the exact transposed
+matmuls — identical adjoint semantics to the FFT primitives they replace.
+
+Fallback control: BUDDY_DFT_MATMUL=0 forces jnp.fft everywhere, =1 forces
+matmul (used by the CPU parity tests), unset/auto picks matmul only on
+non-CPU backends.
+
+Reference behaviors reproduced (for parity bookkeeping): torch.stft/istft's
+per-frame rfft/irfft (aten FFT), torch.fft.fft/ifft along the frame axis in
+subband_filtering (testing/operators/subband_filtering.py:67-74).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PREC = jax.lax.Precision.HIGHEST
+_MAX_MM_N = 4096
+
+
+def use_matmul(n: int) -> bool:
+    env = os.environ.get("BUDDY_DFT_MATMUL", "auto")
+    if env == "0":
+        return False
+    if n > _MAX_MM_N:
+        return False
+    if env == "1":
+        return True
+    return jax.default_backend() != "cpu"
+
+
+def _mm(a: jax.Array, b: np.ndarray) -> jax.Array:
+    return jnp.matmul(a, jnp.asarray(b), precision=_PREC)
+
+
+# ---------------------------------------------------------------------------
+# real transforms (per-frame STFT/ISTFT)
+# ---------------------------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def _rdft_mats(n: int):
+    k = np.arange(n, dtype=np.float64)[:, None]
+    f = np.arange(n // 2 + 1, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * k * f / n
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+def rfft(x: jax.Array, n: int) -> jax.Array:
+    """jnp.fft.rfft(x, axis=-1) for x with trailing length n."""
+    assert x.shape[-1] == n
+    if not use_matmul(n):
+        return jnp.fft.rfft(x, axis=-1)
+    C, S = _rdft_mats(n)
+    return jax.lax.complex(_mm(x, C), _mm(x, S))
+
+
+@functools.lru_cache(maxsize=None)
+def _irdft_mats(n: int):
+    F = n // 2 + 1
+    f = np.arange(F, dtype=np.float64)[:, None]
+    t = np.arange(n, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * f * t / n
+    scale = np.full((F, 1), 2.0 / n)
+    scale[0, 0] = 1.0 / n
+    if n % 2 == 0:
+        scale[-1, 0] = 1.0 / n
+    # sin(ang) is exactly 0 at the DC/Nyquist rows, so the imaginary parts of
+    # X[0] and X[n/2] drop out — same convention as the c2r FFT.
+    return ((np.cos(ang) * scale).astype(np.float32),
+            (-np.sin(ang) * scale).astype(np.float32))
+
+
+def irfft(X: jax.Array, n: int) -> jax.Array:
+    """jnp.fft.irfft(X, n=n, axis=-1) for X with trailing length n//2+1."""
+    assert X.shape[-1] == n // 2 + 1
+    if not use_matmul(n):
+        return jnp.fft.irfft(X, n=n, axis=-1)
+    C, S = _irdft_mats(n)
+    return _mm(jnp.real(X), C) + _mm(jnp.imag(X), S)
+
+
+# ---------------------------------------------------------------------------
+# complex transforms (frame-axis convolution of the subband filter)
+# ---------------------------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def _cdft_mats(n_in: int, n: int):
+    l = np.arange(n_in, dtype=np.float64)[:, None]
+    k = np.arange(n, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * l * k / n
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+def cfft(x: jax.Array, n: int) -> jax.Array:
+    """jnp.fft.fft(x, n=n, axis=-1): complex (or real) x, trailing length
+    <= n (implicitly zero-padded to n — the matmul contracts over only the
+    nonzero inputs, so short inputs are cheaper, not padded)."""
+    n_in = x.shape[-1]
+    assert n_in <= n
+    if not use_matmul(n):
+        return jnp.fft.fft(x, n=n, axis=-1)
+    Wr, Wi = _cdft_mats(n_in, n)
+    xr, xi = jnp.real(x), jnp.imag(x)
+    if jnp.iscomplexobj(x):
+        return jax.lax.complex(_mm(xr, Wr) - _mm(xi, Wi),
+                               _mm(xr, Wi) + _mm(xi, Wr))
+    return jax.lax.complex(_mm(xr, Wr), _mm(xr, Wi))
+
+
+@functools.lru_cache(maxsize=None)
+def _icdft_slice_mats(n: int, offset: int, length: int):
+    k = np.arange(n, dtype=np.float64)[:, None]
+    t = (np.arange(length, dtype=np.float64) + offset)[None, :]
+    ang = 2.0 * np.pi * k * t / n
+    return ((np.cos(ang) / n).astype(np.float32),
+            (np.sin(ang) / n).astype(np.float32))
+
+
+def icfft_slice(Z: jax.Array, n: int, offset: int, length: int) -> jax.Array:
+    """jnp.fft.ifft(Z, axis=-1)[..., offset:offset+length] in one transform:
+    the inverse DFT matrix keeps only the ``length`` output columns actually
+    consumed (the valid window of the frame-axis convolution)."""
+    assert Z.shape[-1] == n and offset + length <= n
+    if not use_matmul(n):
+        full = jnp.fft.ifft(Z, axis=-1)
+        return jax.lax.dynamic_slice_in_dim(full, offset, length, axis=-1)
+    Vr, Vi = _icdft_slice_mats(n, offset, length)
+    Zr, Zi = jnp.real(Z), jnp.imag(Z)
+    return jax.lax.complex(_mm(Zr, Vr) - _mm(Zi, Vi),
+                           _mm(Zr, Vi) + _mm(Zi, Vr))

@@ -15,8 +15,10 @@ The window is always expected at full ``n_fft`` length (the reference either
 uses win_length == n_fft, or explicitly right-pads a shorter window to n_fft,
 subband_filtering.py:34 — so torch's centered window padding never triggers).
 
-TPU notes: framing is a gather and overlap-add a scatter-add; both are tiny
-next to the U-Net and FFTs they feed.  rfft/irfft lower to XLA's FFT on TPU.
+TPU notes: framing/OLA are reshapes + slice-adds (no gather/scatter).  The
+per-frame rfft/irfft go through ops/dft.py: on TPU these short transforms run
+as MXU matmuls against constant DFT matrices (XLA's TPU FFT runs them at
+~100 GFLOP/s — see dft.py); on CPU they stay jnp.fft.
 """
 
 from __future__ import annotations
@@ -26,6 +28,8 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from buddy_tpu.ops import dft
 
 
 def hann_window(n: int, dtype=jnp.float32) -> jax.Array:
@@ -111,7 +115,7 @@ def stft(
     length = x.shape[-1]
     n_frames = 1 + (length - n_fft) // hop_length
     frames = _frame_polyphase(x, n_fft, hop_length, n_frames)
-    spec = jnp.fft.rfft(frames * window, axis=-1)
+    spec = dft.rfft(frames * window, n_fft)
     return jnp.swapaxes(spec, -1, -2)  # (..., F, n_frames)
 
 
@@ -136,7 +140,7 @@ def istft(
         (..., out_length) real signal.
     """
     assert window.shape[-1] == n_fft
-    frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
+    frames = dft.irfft(jnp.swapaxes(spec, -1, -2), n_fft)
     frames = frames * window  # synthesis window
     n_frames = frames.shape[-2]
     ola_len = n_fft + hop_length * (n_frames - 1)
