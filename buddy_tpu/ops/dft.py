@@ -10,10 +10,15 @@ constant (N x N-ish) cos/sin matrix; for the N <= 4096 sizes used here the
 MXU does that 1-2 orders of magnitude faster than the FFT path, and the
 constants (<= ~4 MB) fit comfortably.
 
-All matmuls run at ``Precision.HIGHEST`` (true f32 accumulation): the
-operators' filter-design chain is numerically delicate (log/exp, min-phase
-cepstrum), and default-precision bf16 passes would inject ~1e-2 relative
-error.  Measured accuracy vs jnp.fft at f32 is ~1e-6 relative.
+Matmul precision (BUDDY_DFT_PRECISION = default|high|highest, default
+"default"): the MXU multiplies in bf16 but ACCUMULATES in f32, so DEFAULT
+costs only the ~2^-9 relative rounding of the matmul *inputs* — the same
+order as the bf16 U-Net body noise already validated end-to-end by
+tests/test_mixed_precision.py — while running 13x faster than HIGHEST on
+this chip (scripts/tpu_dft_precision_probe.py: 407 vs 31 TFLOP/s at the
+per-frame STFT shape; at HIGHEST the matmul DFTs cost as much as the FFTs
+they replace).  On the CPU backend XLA ignores the precision flag and
+computes full f32, so the forced-matmul parity tests stay tight.
 
 Autodiff: these are plain dot_generals, so JAX derives the exact transposed
 matmuls — identical adjoint semantics to the FFT primitives they replace.
@@ -36,23 +41,46 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_PREC = jax.lax.Precision.HIGHEST
 _MAX_MM_N = 4096
+_MAX_2STAGE_N = 262144
 
 
-def use_matmul(n: int) -> bool:
+def _prec():
+    name = os.environ.get("BUDDY_DFT_PRECISION", "default")
+    return {"default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST}[name]
+
+
+def _enabled() -> bool:
     env = os.environ.get("BUDDY_DFT_MATMUL", "auto")
     if env == "0":
-        return False
-    if n > _MAX_MM_N:
         return False
     if env == "1":
         return True
     return jax.default_backend() != "cpu"
 
 
+def use_matmul(n: int) -> bool:
+    return n <= _MAX_MM_N and _enabled()
+
+
+def _balanced_factor(n: int):
+    """Factor n = n1 * n2 with both <= _MAX_MM_N, as balanced as possible.
+    Returns None if n is prime or a factor would exceed the matmul cutoff."""
+    best = None
+    f = 1
+    while f * f <= n:
+        if n % f == 0:
+            n1, n2 = f, n // f
+            if n2 <= _MAX_MM_N:
+                best = (n2, n1)  # larger first: bigger contraction on stage 1
+        f += 1
+    return best
+
+
 def _mm(a: jax.Array, b: np.ndarray) -> jax.Array:
-    return jnp.matmul(a, jnp.asarray(b), precision=_PREC)
+    return jnp.matmul(a, jnp.asarray(b), precision=_prec())
 
 
 # ---------------------------------------------------------------------------
@@ -111,20 +139,70 @@ def _cdft_mats(n_in: int, n: int):
     return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
 
 
+def _cmm(x: jax.Array, Wr: np.ndarray, Wi: np.ndarray) -> jax.Array:
+    """Complex matmul of (possibly real) x against constant W = Wr + i*Wi."""
+    xr, xi = jnp.real(x), jnp.imag(x)
+    if jnp.iscomplexobj(x):
+        return jax.lax.complex(_mm(xr, Wr) - _mm(xi, Wi),
+                               _mm(xr, Wi) + _mm(xi, Wr))
+    return jax.lax.complex(_mm(xr, Wr), _mm(xr, Wi))
+
+
 def cfft(x: jax.Array, n: int) -> jax.Array:
     """jnp.fft.fft(x, n=n, axis=-1): complex (or real) x, trailing length
     <= n (implicitly zero-padded to n — the matmul contracts over only the
     nonzero inputs, so short inputs are cheaper, not padded)."""
     n_in = x.shape[-1]
     assert n_in <= n
-    if not use_matmul(n):
-        return jnp.fft.fft(x, n=n, axis=-1)
-    Wr, Wi = _cdft_mats(n_in, n)
-    xr, xi = jnp.real(x), jnp.imag(x)
-    if jnp.iscomplexobj(x):
-        return jax.lax.complex(_mm(xr, Wr) - _mm(xi, Wi),
-                               _mm(xr, Wi) + _mm(xi, Wr))
-    return jax.lax.complex(_mm(xr, Wr), _mm(xr, Wi))
+    if use_matmul(n):
+        Wr, Wi = _cdft_mats(n_in, n)
+        return _cmm(x, Wr, Wi)
+    if _enabled() and n <= _MAX_2STAGE_N and _balanced_factor(n) is not None:
+        return _cfft_2stage(x, n)
+    return jnp.fft.fft(x, n=n, axis=-1)
+
+
+def icfft(Z: jax.Array, n: int) -> jax.Array:
+    """jnp.fft.ifft along the last axis (trailing length n), routed through
+    the same matmul machinery via ifft(z) = conj(fft(conj(z)))/n."""
+    assert Z.shape[-1] == n
+    if not _enabled() or (n > _MAX_2STAGE_N) or (
+            n > _MAX_MM_N and _balanced_factor(n) is None):
+        return jnp.fft.ifft(Z, axis=-1)
+    return jnp.conj(cfft(jnp.conj(Z), n)) / n
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_mats(n1: int, n2: int):
+    n = n1 * n2
+    r = np.arange(n1, dtype=np.float64)[:, None]
+    q = np.arange(n2, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * r * q / n
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+def _cfft_2stage(x: jax.Array, n: int) -> jax.Array:
+    """Cooley-Tukey DFT_n as two matmul-DFT stages (n = n1 * n2), for the
+    long transforms (the 25856-point minimum-phase/Hilbert FFTs) where the
+    backend's native FFT is slowest.  With n = n2*p + q (p < n1, q < n2) and
+    k = n1*s + r:  X[n1*s+r] = DFT_n2_q( tw[r,q] * DFT_n1_p(x[p,q])[r,q] ).
+    """
+    n1, n2 = _balanced_factor(n)
+    n_in = x.shape[-1]
+    if n_in < n:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - n_in)])
+    xm = x.reshape(x.shape[:-1] + (n1, n2))
+    # stage 1: DFT over p (axis -2) -> index r
+    W1r, W1i = _cdft_mats(n1, n1)
+    A = jnp.swapaxes(_cmm(jnp.swapaxes(xm, -1, -2), W1r, W1i), -1, -2)
+    # twiddle (r, q)
+    twr, twi = _twiddle_mats(n1, n2)
+    B = A * jax.lax.complex(jnp.asarray(twr), jnp.asarray(twi))
+    # stage 2: DFT over q (axis -1) -> index s
+    W2r, W2i = _cdft_mats(n2, n2)
+    C = _cmm(B, W2r, W2i)                        # (..., r, s)
+    # X[n1*s + r] = C[r, s]  ->  row-major layout is (s, r)
+    return jnp.swapaxes(C, -1, -2).reshape(x.shape[:-1] + (n,))
 
 
 @functools.lru_cache(maxsize=None)

@@ -82,6 +82,41 @@ def test_icfft_slice_matches_fft(force_matmul, n, off, length):
                                atol=2e-6, rtol=2e-6)
 
 
+@pytest.mark.parametrize("n_in,n", [(12928, 25856), (25856, 25856), (6000, 6000)])
+def test_cfft_2stage_long_matches_fft(force_matmul, n_in, n):
+    """Long transforms (> matmul cutoff) run as two-stage Cooley-Tukey
+    matmul DFTs — the minimum-phase/Hilbert sizes of the blind loop."""
+    x = _rand((2, n_in), complex=(n_in == n))
+    got = dft.cfft(x, n)
+    want = jnp.fft.fft(x, n=n, axis=-1)
+    scale = np.abs(np.asarray(want)).max()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4 * scale, rtol=2e-4)
+
+
+def test_icfft_long_matches_fft(force_matmul):
+    n = 25856
+    Z = _rand((2, n), complex=True)
+    got = dft.icfft(Z, n)
+    want = jnp.fft.ifft(Z, axis=-1)
+    scale = np.abs(np.asarray(want)).max()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4 * scale, rtol=2e-4)
+
+
+def test_minimum_phase_matmul_path_matches_fft_path(monkeypatch):
+    """minimum_phase_version through the matmul DFTs == the jnp.fft path."""
+    from buddy_tpu.ops import minphase
+    rng = np.random.default_rng(9)
+    h = jnp.asarray(np.exp(-np.arange(12928) / 1500.0)[None, :]
+                    * rng.standard_normal((2, 12928))).astype(jnp.float32)
+    monkeypatch.setenv("BUDDY_DFT_MATMUL", "0")
+    want = np.asarray(minphase.minimum_phase_version(h))
+    monkeypatch.setenv("BUDDY_DFT_MATMUL", "1")
+    got = np.asarray(minphase.minimum_phase_version(h))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
 def test_grads_match_fft_path(force_matmul):
     """The matmul transforms must carry the same adjoints as the FFT
     primitives they replace — grads through a conv + magnitude loss."""
