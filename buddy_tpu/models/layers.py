@@ -93,28 +93,65 @@ def group_norm(ch: int, name: str) -> GroupNormAct:
     return GroupNormAct(num_groups=min(ch // 4, 32), epsilon=1e-6, name=name)
 
 
+def _quant_kwargs(quant):
+    """``quant`` is falsy (f32/bf16 nn.Conv), True (int8 defaults), or an
+    ``(accum, bwd_quant, static_scale)`` tuple (see ops/qconv.py)."""
+    if quant is True:
+        return {}
+    accum, bwd, static = quant
+    return dict(accum=accum, bwd_quant=bwd, static_scale=static)
+
+
 def conv3x3(out_ch: int, *, init_scale: float = 1.0, stride: int = 1,
-            bias: bool = True, dtype=None, quant: bool = False,
+            bias: bool = True, dtype=None, quant=False,
             name: str) -> nn.Module:
-    cls = nn.Conv
+    cls, extra = nn.Conv, {}
     if quant:
         from buddy_tpu.ops.qconv import QConv
-        cls = QConv
+        cls, extra = QConv, _quant_kwargs(quant)
     return cls(out_ch, (3, 3), strides=(stride, stride),
                padding=((1, 1), (1, 1)), use_bias=bias,
                kernel_init=default_init(init_scale),
-               bias_init=nn.initializers.zeros, dtype=dtype, name=name)
+               bias_init=nn.initializers.zeros, dtype=dtype, name=name,
+               **extra)
 
 
 def conv1x1(out_ch: int, *, init_scale: float = 1.0, bias: bool = True,
-            dtype=None, quant: bool = False, name: str) -> nn.Module:
-    cls = nn.Conv
+            dtype=None, quant=False, name: str) -> nn.Module:
+    cls, extra = nn.Conv, {}
     if quant:
         from buddy_tpu.ops.qconv import QConv
-        cls = QConv
+        cls, extra = QConv, _quant_kwargs(quant)
     return cls(out_ch, (1, 1), use_bias=bias,
                kernel_init=default_init(init_scale),
-               bias_init=nn.initializers.zeros, dtype=dtype, name=name)
+               bias_init=nn.initializers.zeros, dtype=dtype, name=name,
+               **extra)
+
+
+class _FusedUpConv(nn.Module):
+    """nearest-up2 + conv as one lhs-dilated conv (ops/resample.py).
+
+    Parameter names/shapes ("kernel" HWIO at the ORIGINAL conv size,
+    "bias") match nn.Conv exactly, so checkpoints are oblivious to the
+    fusion; the 4x4/2x2 lhs-dilated kernel is derived in-graph.
+    """
+    features: int
+    kernel_size: Sequence[int]
+    kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from buddy_tpu.ops.resample import up2_conv1x1, up2_conv3x3
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", self.kernel_init,
+                            (kh, kw, x.shape[-1], self.features))
+        bias = self.param("bias", self.bias_init, (self.features,))
+        if (kh, kw) == (3, 3):
+            return up2_conv3x3(x, kernel, bias)
+        assert (kh, kw) == (1, 1)
+        return up2_conv1x1(x, kernel, bias)
 
 
 def naive_upsample_2d(x: jax.Array, factor: int = 2) -> jax.Array:
@@ -336,12 +373,18 @@ class ResnetBlockBigGANpp(nn.Module):
     init_scale: float = 0.0
     temb: bool = True
     dtype: Any = None
-    qconv: bool = False  # int8 convs (ops/qconv.py), STE gradients
+    # falsy, True, or (accum, bwd_quant, static_scale): int8 convs
+    # (ops/qconv.py), STE gradients
+    qconv: Any = False
+    # fold nearest-up2 into Conv_0/Conv_2 as lhs-dilated convs (exact;
+    # skips the 4x-size HBM broadcast) — perf knob, off by default
+    fuse_up: bool = False
 
     @nn.compact
     def __call__(self, x, temb=None, *, deterministic: bool = True):
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
+        fused_up = self.up and not self.fir and self.fuse_up and not self.qconv
 
         def gn_act(ch, name):
             return GroupNormAct(num_groups=min(ch // 4, 32), epsilon=1e-6,
@@ -354,7 +397,7 @@ class ResnetBlockBigGANpp(nn.Module):
                 from buddy_tpu.ops.resample import upsample_2d
                 h = upsample_2d(h, self.fir_kernel, factor=2)
                 x = upsample_2d(x, self.fir_kernel, factor=2)
-            else:
+            elif not fused_up:
                 h = naive_upsample_2d(h)
                 x = naive_upsample_2d(x)
         elif self.down:
@@ -366,7 +409,12 @@ class ResnetBlockBigGANpp(nn.Module):
                 h = naive_downsample_2d(h)
                 x = naive_downsample_2d(x)
 
-        h = conv3x3(out_ch, dtype=self.dtype, quant=self.qconv, name="Conv_0")(h)
+        if fused_up:
+            h = _FusedUpConv(out_ch, (3, 3), kernel_init=default_init(),
+                             dtype=self.dtype, name="Conv_0")(h)
+        else:
+            h = conv3x3(out_ch, dtype=self.dtype, quant=self.qconv,
+                        name="Conv_0")(h)
         if temb is not None:
             h = h + nn.Dense(out_ch, kernel_init=default_init(),
                              bias_init=nn.initializers.zeros, dtype=self.dtype,
@@ -378,7 +426,12 @@ class ResnetBlockBigGANpp(nn.Module):
                     quant=self.qconv, name="Conv_1")(h)
 
         if in_ch != out_ch or self.up or self.down:
-            x = conv1x1(out_ch, dtype=self.dtype, quant=self.qconv, name="Conv_2")(x)
+            if fused_up:
+                x = _FusedUpConv(out_ch, (1, 1), kernel_init=default_init(),
+                                 dtype=self.dtype, name="Conv_2")(x)
+            else:
+                x = conv1x1(out_ch, dtype=self.dtype, quant=self.qconv,
+                            name="Conv_2")(x)
 
         if not self.skip_rescale:
             return x + h

@@ -61,6 +61,18 @@ class NCSNpp(nn.Module):
     # int8 resblock convs with STE grads (ops/qconv.py) — the lower-precision
     # path past the bf16 RTF ceiling; off by default for reference parity
     quantize_int8: bool = False
+    # int8 tuning (only read when quantize_int8): MXU accumulation/dequant
+    # type ("int32" exact, "bfloat16"/"float32" convert inside the conv op),
+    # whether the dL/dx adjoint convs also run int8, and whether activation
+    # scales come from a calibrated "quant" collection instead of per-call
+    # max|x| (NetworkBundle.calibrate_quant)
+    quantize_accum: str = "int32"
+    quantize_bwd: bool = False
+    quantize_static: bool = False
+    # fold nearest-up2 into the up-ResBlock convs as lhs-dilated convs
+    # (exact math, skips the 4x-size HBM broadcast + its vjp reduce) —
+    # perf knob, off by default for reference-graph parity
+    fuse_resample: bool = False
 
     def setup(self):
         act = L.get_act(self.nonlinearity)
@@ -97,9 +109,14 @@ class NCSNpp(nn.Module):
             if self.resblock_type == "ddpm":
                 return L.ResnetBlockDDPMpp(**common)
             if self.resblock_type == "biggan":
+                qcfg = ((self.quantize_accum, self.quantize_bwd,
+                         self.quantize_static)
+                        if self.quantize_int8 else False)
                 return L.ResnetBlockBigGANpp(up=up, down=down, fir=self.fir,
                                              fir_kernel=self.fir_kernel,
-                                             qconv=self.quantize_int8, **common)
+                                             qconv=qcfg,
+                                             fuse_up=self.fuse_resample,
+                                             **common)
             raise ValueError(f"resblock type {self.resblock_type} unrecognized.")
 
         def AttnBlock(name):

@@ -71,3 +71,77 @@ def test_fir_upsample_downsample_roundtrip(rng):
     d = downsample_2d(u)
     assert d.shape == (1, 8, 8, 4)
     np.testing.assert_allclose(np.asarray(d)[0, 2:-2, 2:-2], 1.0, atol=1e-3)
+
+
+def test_up2_conv3x3_fused_matches_naive(rng):
+    """Fused lhs-dilated up2+conv3x3 == conv3x3(pad1)(nearest_up2(x)),
+    values AND input grads, at float tolerance."""
+    from buddy_tpu.models.layers import naive_upsample_2d
+    from buddy_tpu.ops.resample import up2_conv3x3
+
+    x = jnp.asarray(rng.standard_normal((2, 5, 7, 6)).astype(np.float32))
+    w = jnp.asarray((rng.standard_normal((3, 3, 6, 4)) * 0.3
+                     ).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(4).astype(np.float32))
+    dn = jax.lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
+                                        ("NHWC", "HWIO", "NHWC"))
+
+    def naive(xx, ww, bb):
+        u = naive_upsample_2d(xx)
+        return jax.lax.conv_general_dilated(
+            u, ww, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn) + bb
+
+    want = naive(x, w, b)
+    got = up2_conv3x3(x, w, b)
+    assert got.shape == want.shape == (2, 10, 14, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    g = jnp.asarray(rng.standard_normal(want.shape).astype(np.float32))
+    gn = jax.grad(lambda *a: jnp.sum(naive(*a) * g), argnums=(0, 1, 2))(x, w, b)
+    gf = jax.grad(lambda *a: jnp.sum(up2_conv3x3(*a) * g),
+                  argnums=(0, 1, 2))(x, w, b)
+    for a, c in zip(gf, gn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_up2_conv1x1_fused_matches_naive(rng):
+    from buddy_tpu.models.layers import naive_upsample_2d
+    from buddy_tpu.ops.resample import up2_conv1x1
+
+    x = jnp.asarray(rng.standard_normal((1, 4, 6, 8)).astype(np.float32))
+    w = jnp.asarray((rng.standard_normal((1, 1, 8, 3)) * 0.5
+                     ).astype(np.float32))
+    dn = jax.lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
+                                        ("NHWC", "HWIO", "NHWC"))
+    want = jax.lax.conv_general_dilated(
+        naive_upsample_2d(x), w, (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=dn)
+    got = up2_conv1x1(x, w, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_resblock_fuse_up_parity(rng):
+    """ResnetBlockBigGANpp(up=True, fuse_up=True) reuses the same param tree
+    and reproduces the naive path output at float tolerance."""
+    from buddy_tpu.models.layers import ResnetBlockBigGANpp, get_act
+
+    act = get_act("swish")
+    kw = dict(act=act, out_ch=12, up=True, dropout=0.0, skip_rescale=True,
+              init_scale=0.0, temb=True)
+    naive = ResnetBlockBigGANpp(**kw)
+    fused = ResnetBlockBigGANpp(**kw, fuse_up=True)
+    x = jnp.asarray(rng.standard_normal((2, 6, 8, 16)).astype(np.float32))
+    temb = jnp.asarray(rng.standard_normal((2, 32)).astype(np.float32))
+    params = naive.init(jax.random.PRNGKey(0), x, temb)
+    pf = fused.init(jax.random.PRNGKey(0), x, temb)
+    assert (jax.tree_util.tree_structure(pf)
+            == jax.tree_util.tree_structure(params))
+    assert (jax.tree.map(lambda l: l.shape, pf)
+            == jax.tree.map(lambda l: l.shape, params))
+    a = naive.apply(params, x, temb)
+    c = fused.apply(params, x, temb)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                               atol=2e-5, rtol=2e-5)
