@@ -45,3 +45,24 @@ def test_cache_opt_out(tmp_path, monkeypatch):
     monkeypatch.setenv("BUDDY_PARAM_CACHE", "0")
     _init(tmp_path)
     assert not list(tmp_path.glob("init-*.npz"))
+
+
+def test_packed_transfer_roundtrip():
+    """_packed_transfer (single-device one-buffer load) reproduces the tree
+    bit-exactly; mixed-dtype trees decline (caller falls back)."""
+    from buddy_tpu.models import NetworkBundle
+
+    rng = np.random.default_rng(0)
+    tree = {"a": {"kernel": rng.standard_normal((3, 3, 4, 8)).astype(np.float32),
+                  "bias": rng.standard_normal(8).astype(np.float32)},
+            "b": {"scale": rng.standard_normal((16,)).astype(np.float32)}}
+    packed = NetworkBundle._packed_transfer(tree)
+    assert packed is not None
+    assert (jax.tree_util.tree_structure(packed)
+            == jax.tree_util.tree_structure(tree))
+    for a, b in zip(jax.tree.leaves(packed), jax.tree.leaves(tree)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+        assert a.dtype == np.float32
+
+    mixed = dict(tree, c=np.zeros((), np.int32))
+    assert NetworkBundle._packed_transfer(mixed) is None
