@@ -203,6 +203,13 @@ class BlindSubbandFiltering(SubbandFiltering):
         self.Amin = float(hp["Amin"])
         self.Amax = float(hp["Amax"])
         self.EQ_freqs = np.asarray(hp["EQ_freqs"], np.float32)
+        # Piecewise-linear interpolation over STATIC grids is a fixed linear
+        # map: precompute the (F, n_EQ) matrix (2 nonzeros/row) so
+        # design_subband_filter runs it as one small MXU matmul — the
+        # jnp.interp formulation cost a gather fwd + scatter-add vjp per
+        # inner-loop update (~2 ms of a 194 ms blind-DPS step at B=8).
+        self._interp_mat = self._interp_matrix(
+            np.asarray(self.freqs, np.float32), self.EQ_freqs)
         self.fix_EQ_extremes = bool(hp["fix_EQ_extremes"])
         self.num_bands = len(hp["EQ_freqs"]) - (2 if self.fix_EQ_extremes else 0)
         self.minimum_phase = bool(hp.get("minimum_phase", True))
@@ -273,12 +280,27 @@ class BlindSubbandFiltering(SubbandFiltering):
             factors[k] = w[int((K - k) * self.hop_length):].sum() / win_sum
         return factors
 
+    @staticmethod
+    def _interp_matrix(x: np.ndarray, xp: np.ndarray) -> np.ndarray:
+        """Dense matrix M with M @ fp == jnp.interp(x, xp, fp) for every fp
+        (piecewise-linear, ends clamped).  Built once on the host."""
+        j = np.clip(np.searchsorted(xp, x) - 1, 0, len(xp) - 2)
+        t = (x - xp[j]) / (xp[j + 1] - xp[j])
+        t = np.clip(t, 0.0, 1.0).astype(np.float32)
+        M = np.zeros((len(x), len(xp)), np.float32)
+        rows = np.arange(len(x))
+        M[rows, j] = 1.0 - t
+        M[rows, j + 1] = t
+        return M
+
     def design_subband_filter(self, params: Dict[str, jax.Array]) -> jax.Array:
         """Multi-exponential decay matrix -> log -> linear interpolation
         across EQ breakpoints -> exp (subband_filtering.py:224-239).
 
-        The reference uses torchcde linear interpolation; ``jnp.interp`` is
-        the same piecewise-linear map on the in-range rfft frequencies.
+        The reference uses torchcde linear interpolation; the precomputed
+        ``_interp_mat`` matmul is the same piecewise-linear map (incl. the
+        end-value clamping of jnp.interp/torchcde) on the in-range rfft
+        frequencies, evaluated on the MXU.
         """
         Nf = self.Nf
         decay = jnp.exp(params["decay"])            # (E, bands)
@@ -294,9 +316,8 @@ class BlindSubbandFiltering(SubbandFiltering):
         else:
             full = env
         logm = jnp.log(full + 1e-6)                  # (n_EQ, Nf)
-        # interp along frequency for each frame
-        interp = jax.vmap(lambda col: jnp.interp(self.freqs, self.EQ_freqs, col),
-                          in_axes=1, out_axes=1)(logm)  # (F, Nf)
+        # interp along frequency for each frame: one (F, n_EQ) matmul
+        interp = self._interp_mat @ logm             # (F, Nf)
         return jnp.exp(interp)
 
     def design_filter(self, params: Dict[str, jax.Array], correct_OLA: bool = True) -> jax.Array:
