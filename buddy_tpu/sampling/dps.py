@@ -46,6 +46,14 @@ class EulerHeunSamplerDPS(EulerHeunSampler):
         ps = args["tester"]["posterior_sampling"]
         self.ps = ps
         self.zeta = float(ps["zeta"])
+        # "full" = exact DPS vjp through the denoiser (reference parity);
+        # "identity" = MPGD/PiGDM-style dD/dx ~= I approximation that skips
+        # the U-Net backward — roughly half the per-step FLOPs.  The
+        # grad-norm zeta normalization below makes the step size
+        # self-calibrating under either Jacobian.
+        self.guidance_jacobian = str(ps.get("guidance_jacobian", "full"))
+        assert self.guidance_jacobian in ("full", "identity"), \
+            self.guidance_jacobian
         self.audio_len = int(args["exp"]["audio_len"])
         self.y_stft = None
         # prepared (loss-transformed) observation spectra, set by _run;
@@ -155,7 +163,11 @@ class EulerHeunSamplerDPS(EulerHeunSampler):
         return op_params, opt_state, jax.lax.stop_gradient(H), rng
 
     def _likelihood_score(self, x_den, vjp_fn, degrade):
-        """zeta-normalized DPS guidance (EulerHeunSamplerDPS.py:61-69)."""
+        """zeta-normalized DPS guidance (EulerHeunSamplerDPS.py:61-69).
+
+        ``vjp_fn`` None means identity-Jacobian mode: the operator-side
+        gradient wrt x_den is used as the guidance direction without
+        pulling it back through the denoiser."""
         if self._y_prep is not None:
             y_ref, prepared = self._y_prep, True
         else:
@@ -167,7 +179,7 @@ class EulerHeunSamplerDPS(EulerHeunSampler):
                 return self.rec_loss(y_ref, degrade(xd), x_prepared=True)
             return self.rec_loss(y_ref, degrade(xd))
         rec, g_xden = jax.value_and_grad(rec_of_xden)(x_den)
-        rec_grads = vjp_fn(g_xden)[0]
+        rec_grads = g_xden if vjp_fn is None else vjp_fn(g_xden)[0]
         normguide = jnp.linalg.norm(rec_grads) / (self.audio_len ** 0.5)
         return self.zeta / (normguide + 1e-8) * rec_grads, rec
 
@@ -175,7 +187,12 @@ class EulerHeunSamplerDPS(EulerHeunSampler):
                        op_params, opt_state, H, rng, net_params=()):
         """Denoise + (blind) operator optimization + guidance at one sigma.
         Returns (x_den_for_score, ode_integrand, op_state...)."""
-        x_den, vjp_fn = jax.vjp(lambda xh: self._denoise(xh, t_hat, net_params), x_hat)
+        if self.guidance_jacobian == "identity":
+            x_den = self._denoise(x_hat, t_hat, net_params)
+            vjp_fn = None  # _likelihood_score applies g_xden directly
+        else:
+            x_den, vjp_fn = jax.vjp(
+                lambda xh: self._denoise(xh, t_hat, net_params), x_hat)
 
         if blind:
             op_params, opt_state, H, rng = self._optimize_op(
