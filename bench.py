@@ -87,6 +87,13 @@ def main():
         f"tester.sampling_params.T={T_STEPS}",
         f"network.compute_dtype={DTYPE}",
         f"network.quantize_int8={str(INT8).lower()}",
+        f"network.quantize_accum={os.environ.get('BENCH_INT8_ACCUM', 'int32')}",
+        "network.quantize_bwd="
+        f"{str(os.environ.get('BENCH_INT8_BWD', '0') == '1').lower()}",
+        "network.fuse_resample="
+        f"{str(os.environ.get('BENCH_FUSE_UP', '0') == '1').lower()}",
+        "tester.posterior_sampling.guidance_jacobian="
+        f"{os.environ.get('BENCH_GUIDANCE', 'full')}",
     ])
 
     # flagship network (nf=128, ch_mult [1,2,2,2]) with random weights —

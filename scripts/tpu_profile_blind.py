@@ -28,6 +28,14 @@ args = compose("conf_VCTK.yaml", [
     "tester=blind_dereverberation_BUDDy",
     f"tester.sampling_params.T={T}",
     f"network.compute_dtype={DTYPE}",
+    f"network.quantize_int8={os.environ.get('BENCH_INT8', '0') == '1' and 'true' or 'false'}",
+    f"network.quantize_accum={os.environ.get('BENCH_INT8_ACCUM', 'int32')}",
+    "network.quantize_bwd="
+    f"{str(os.environ.get('BENCH_INT8_BWD', '0') == '1').lower()}",
+    "network.fuse_resample="
+    f"{str(os.environ.get('BENCH_FUSE_UP', '0') == '1').lower()}",
+    "tester.posterior_sampling.guidance_jacobian="
+    f"{os.environ.get('BENCH_GUIDANCE', 'full')}",
 ])
 network = NetworkBundle(instantiate(args["network"]))
 network.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, AUDIO_LEN)), jnp.zeros((1,)))
