@@ -91,9 +91,19 @@ class NetworkBundle:
         return jax.tree_util.tree_unflatten(treedef, jax.jit(unpack)(buf))
 
     # --- init-params disk cache (cold-start: VERDICT r2 item 6) ----------
+
+    # Module fields that only affect apply(), never the init variable tree
+    # (verified: the f32 and int8 init caches are byte-identical).  Stripped
+    # from the cache key so one entry serves every precision/fusion variant
+    # of the same architecture — a full cold host init of the production
+    # U-Net costs 11-49 min on the 1-core box.
+    _APPLY_ONLY_FIELDS = ("compute_dtype", "quantize_int8", "quantize_accum",
+                          "quantize_bwd", "quantize_static", "fuse_resample")
+
     def _param_cache_path(self, rng, x, cnoise, cache_dir):
         import hashlib
         import os
+        import re
         if os.environ.get("BUDDY_PARAM_CACHE", "1") == "0":
             return None
         import numpy as np
@@ -101,7 +111,16 @@ class NetworkBundle:
             "BUDDY_PARAM_CACHE_DIR",
             os.path.join(os.path.dirname(os.path.dirname(
                 os.path.dirname(os.path.abspath(__file__)))), ".param_cache"))
-        spec = (f"{self.module!r}|{tuple(x.shape)}|{x.dtype}|"
+        rep = repr(self.module)
+        for f in self._APPLY_ONLY_FIELDS:
+            rep = re.sub(rf"\b{f}\s*=\s*[^,)\n]*", f"{f}=*", rep)  # field = value
+            rep = re.sub(rf"\('{f}', [^)]*\)", f"('{f}', *)", rep)  # net_kwargs
+        # quantize_static=True DOES add a "quant" variable collection at
+        # init (ops/qconv.py), but only when the QConvs are live:
+        cfg = dict(getattr(self.module, "net_kwargs", ()) or ())
+        get = lambda f: cfg.get(f, getattr(self.module, f, False))
+        static_init = bool(get("quantize_int8") and get("quantize_static"))
+        spec = (f"{rep}|static_init={static_init}|{tuple(x.shape)}|{x.dtype}|"
                 f"{tuple(cnoise.shape)}|{np.asarray(rng).tobytes().hex()}")
         key = hashlib.sha1(spec.encode()).hexdigest()[:20]
         return os.path.join(cache_dir, f"init-{key}.npz")

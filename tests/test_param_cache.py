@@ -41,6 +41,20 @@ def test_cache_keys_on_seed_and_config(tmp_path):
     assert len(list(tmp_path.glob("init-*.npz"))) == 3
 
 
+def test_cache_key_ignores_apply_only_fields(tmp_path):
+    """compute_dtype / quantize_int8 / fuse_resample change apply(), never the
+    init variable tree — one cache entry must serve all of them (the entry is
+    111 MB for the production net and a cold init costs 11-49 min)."""
+    _init(tmp_path)
+    _init(tmp_path, compute_dtype="bfloat16")
+    _init(tmp_path, quantize_int8=True)
+    _init(tmp_path, fuse_resample=True)
+    assert len(list(tmp_path.glob("init-*.npz"))) == 1
+    # static quantization adds a "quant" collection at init: separate key
+    _init(tmp_path, quantize_int8=True, quantize_static=True)
+    assert len(list(tmp_path.glob("init-*.npz"))) == 2
+
+
 def test_cache_opt_out(tmp_path, monkeypatch):
     monkeypatch.setenv("BUDDY_PARAM_CACHE", "0")
     _init(tmp_path)
