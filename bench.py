@@ -90,8 +90,11 @@ def main():
         f"network.quantize_accum={os.environ.get('BENCH_INT8_ACCUM', 'int32')}",
         "network.quantize_bwd="
         f"{str(os.environ.get('BENCH_INT8_BWD', '0') == '1').lower()}",
+        # serving default: fold nearest-up2 into the up-convs — exact to
+        # float rounding, identical param tree, measured 3.75x vs 3.37x RTF
+        # (ops/resample.py:111; tests/test_kernels.py gate parity)
         "network.fuse_resample="
-        f"{str(os.environ.get('BENCH_FUSE_UP', '0') == '1').lower()}",
+        f"{str(os.environ.get('BENCH_FUSE_UP', '1') == '1').lower()}",
         "tester.posterior_sampling.guidance_jacobian="
         f"{os.environ.get('BENCH_GUIDANCE', 'full')}",
     ])
