@@ -379,3 +379,26 @@ def test_identity_guidance_blind_runs_and_differs(rng):
 
     diff = np.linalg.norm(outs["identity"] - outs["full"])
     assert diff > 1e-6, diff
+
+
+def test_identity_guidance_recovers_on_oracle():
+    """Recovery QUALITY of identity-Jacobian guidance in a controlled blind
+    setting where ground truth exists: Gaussian-mixture prior with an
+    analytic (genuinely nonlinear) Tweedie denoiser + the real blind subband
+    operator.  Calibration (scripts/oracle_guidance_quality.py, 2026-08-18):
+    this config recovers ~13.2 dB SI-SDR from ~-0.8 dB input; full-vjp DPS
+    scores within 1 dB of identity whenever it converges.  Gate at +8 dB
+    improvement."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "oracle_guidance_quality",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "scripts", "oracle_guidance_quality.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    r = mod.run_one(seed=1, T=10, L=1024, K=4, s=0.005, op_updates=2,
+                    modes=("identity",))
+    assert r["sisdr_identity"] > r["sisdr_input"] + 8.0, r
