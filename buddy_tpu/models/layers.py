@@ -140,18 +140,46 @@ class _FusedUpConv(nn.Module):
     kernel_init: Any = nn.initializers.lecun_normal()
     bias_init: Any = nn.initializers.zeros
     dtype: Any = None
+    # falsy, True, or (accum, bwd_quant, static_scale) — int8 path on the
+    # DERIVED 4x4/2x2 kernel (quantizing the kernel actually applied), with
+    # the same "quant" collection layout as QConv so the variable tree is
+    # identical to the unfused int8 net.
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        from buddy_tpu.ops.resample import up2_conv1x1, up2_conv3x3
+        from buddy_tpu.ops.resample import (up2_conv1x1, up2_conv3x3,
+                                            up2_kernel1x1, up2_kernel3x3)
         kh, kw = self.kernel_size
         kernel = self.param("kernel", self.kernel_init,
                             (kh, kw, x.shape[-1], self.features))
         bias = self.param("bias", self.bias_init, (self.features,))
+        if not self.quant:
+            if (kh, kw) == (3, 3):
+                return up2_conv3x3(x, kernel, bias)
+            assert (kh, kw) == (1, 1)
+            return up2_conv1x1(x, kernel, bias)
+
+        from buddy_tpu.ops.qconv import quantized_conv
+        accum, bwd_quant, static_scale = (
+            ("int32", False, False) if self.quant is True else self.quant)
         if (kh, kw) == (3, 3):
-            return up2_conv3x3(x, kernel, bias)
-        assert (kh, kw) == (1, 1)
-        return up2_conv1x1(x, kernel, bias)
+            k_up, pads = up2_kernel3x3(kernel), ((2, 2), (2, 2))
+        else:
+            assert (kh, kw) == (1, 1)
+            k_up, pads = up2_kernel1x1(kernel), ((1, 1), (1, 1))
+        a_scale = None
+        if static_scale:
+            amax_var = self.variable("quant", "a_scale",
+                                     lambda: jnp.zeros((), jnp.float32))
+            if self.is_mutable_collection("quant") and not self.is_initializing():
+                obs = jax.lax.stop_gradient(
+                    jnp.max(jnp.abs(x)).astype(jnp.float32))
+                amax_var.value = jnp.maximum(amax_var.value, obs)
+            else:
+                a_scale = amax_var.value
+        return quantized_conv((1, 1), pads, accum, bwd_quant, (2, 2),
+                              x, k_up, bias, a_scale)
 
 
 def naive_upsample_2d(x: jax.Array, factor: int = 2) -> jax.Array:
@@ -376,15 +404,16 @@ class ResnetBlockBigGANpp(nn.Module):
     # falsy, True, or (accum, bwd_quant, static_scale): int8 convs
     # (ops/qconv.py), STE gradients
     qconv: Any = False
-    # fold nearest-up2 into Conv_0/Conv_2 as lhs-dilated convs (exact;
-    # skips the 4x-size HBM broadcast) — perf knob, off by default
+    # fold nearest-up2 into Conv_0/Conv_2 as lhs-dilated convs (exact in
+    # float; composes with qconv by quantizing the derived kernel; skips
+    # the 4x-size HBM broadcast) — perf knob, off by default
     fuse_up: bool = False
 
     @nn.compact
     def __call__(self, x, temb=None, *, deterministic: bool = True):
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
-        fused_up = self.up and not self.fir and self.fuse_up and not self.qconv
+        fused_up = self.up and not self.fir and self.fuse_up
 
         def gn_act(ch, name):
             return GroupNormAct(num_groups=min(ch // 4, 32), epsilon=1e-6,
@@ -411,7 +440,8 @@ class ResnetBlockBigGANpp(nn.Module):
 
         if fused_up:
             h = _FusedUpConv(out_ch, (3, 3), kernel_init=default_init(),
-                             dtype=self.dtype, name="Conv_0")(h)
+                             dtype=self.dtype, quant=self.qconv,
+                             name="Conv_0")(h)
         else:
             h = conv3x3(out_ch, dtype=self.dtype, quant=self.qconv,
                         name="Conv_0")(h)
@@ -428,7 +458,8 @@ class ResnetBlockBigGANpp(nn.Module):
         if in_ch != out_ch or self.up or self.down:
             if fused_up:
                 x = _FusedUpConv(out_ch, (1, 1), kernel_init=default_init(),
-                                 dtype=self.dtype, name="Conv_2")(x)
+                                 dtype=self.dtype, quant=self.qconv,
+                                 name="Conv_2")(x)
             else:
                 x = conv1x1(out_ch, dtype=self.dtype, quant=self.qconv,
                             name="Conv_2")(x)

@@ -53,10 +53,10 @@ def _dn(x_ndim: int):
                                           ("NHWC", "HWIO", "NHWC"))
 
 
-def _plain_conv(strides, padding, x, w, b):
+def _plain_conv(strides, padding, lhs_dilation, x, w, b):
     y = jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=strides, padding=padding,
-        dimension_numbers=_dn(x.ndim))
+        lhs_dilation=lhs_dilation, dimension_numbers=_dn(x.ndim))
     if b is not None:
         y = y + b.astype(y.dtype)
     return y
@@ -84,23 +84,29 @@ def _quantize_w(w):
     return w_q, s_w
 
 
-def _int8_conv(x_q, w_q, strides, padding, accum, out_dtype, scale):
+def _int8_conv(x_q, w_q, strides, padding, accum, out_dtype, scale,
+               lhs_dilation=(1, 1)):
     """int8 x int8 conv + fused dequant epilogue in ``out_dtype``."""
     y = jax.lax.conv_general_dilated(
         x_q, w_q, window_strides=strides, padding=padding,
-        dimension_numbers=_dn(x_q.ndim), preferred_element_type=_ACCUM[accum])
+        lhs_dilation=lhs_dilation, dimension_numbers=_dn(x_q.ndim),
+        preferred_element_type=_ACCUM[accum])
     return y.astype(out_dtype) * scale.astype(out_dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def quantized_conv(strides, padding, accum, bwd_quant, x, w, b, a_scale):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def quantized_conv(strides, padding, accum, bwd_quant, lhs_dilation,
+                   x, w, b, a_scale):
     """int8 conv, NHWC x HWIO -> NHWC.
 
-    ``strides``/``padding``/``accum``/``bwd_quant`` are hashable statics;
-    ``b`` and ``a_scale`` may be None (dynamic activation scale)."""
+    ``strides``/``padding``/``accum``/``bwd_quant``/``lhs_dilation`` are
+    hashable statics; ``b`` and ``a_scale`` may be None (dynamic activation
+    scale).  ``lhs_dilation=(2,2)`` serves the fused nearest-up2 convs
+    (ops/resample.py:111) — the int8 kernel there is the derived 4x4/2x2."""
     x_q, s_x = _quantize_act(x, a_scale)
     w_q, s_w = _quantize_w(w)
-    y = _int8_conv(x_q, w_q, strides, padding, accum, x.dtype, s_x * s_w)
+    y = _int8_conv(x_q, w_q, strides, padding, accum, x.dtype, s_x * s_w,
+                   lhs_dilation)
     if b is not None:
         y = y + b.astype(x.dtype)
     return y
@@ -116,22 +122,26 @@ def _explicit_pads(padding, kh, kw):
     return tuple(tuple(p) for p in padding)
 
 
-def _qconv_fwd(strides, padding, accum, bwd_quant, x, w, b, a_scale):
-    y = quantized_conv(strides, padding, accum, bwd_quant, x, w, b, a_scale)
+def _qconv_fwd(strides, padding, accum, bwd_quant, lhs_dilation,
+               x, w, b, a_scale):
+    y = quantized_conv(strides, padding, accum, bwd_quant, lhs_dilation,
+                       x, w, b, a_scale)
     return y, (x, w, b, a_scale)
 
 
-def _qconv_bwd(strides, padding, accum, bwd_quant, res, g):
+def _qconv_bwd(strides, padding, accum, bwd_quant, lhs_dilation, res, g):
     x, w, b, a_scale = res
     # Straight-through: adjoints of the un-quantized conv.  The primal conv
     # traced here is dead code (its output is unused) and DCE'd by XLA; at
     # inference dw/db are unconsumed and DCE'd too.
     _, vjp = jax.vjp(lambda xx, ww, bb: _plain_conv(strides, padding,
+                                                    lhs_dilation,
                                                     xx, ww, bb), x, w, b)
     dx, dw, db = vjp(g.astype(x.dtype))
     kh, kw = w.shape[0], w.shape[1]
     pads = _explicit_pads(padding, kh, kw)
-    if bwd_quant and strides == (1, 1) and pads is not None:
+    if (bwd_quant and strides == (1, 1) and lhs_dilation == (1, 1)
+            and pads is not None):
         # dL/dx = g conv w(spatially flipped, I/O swapped), int8.  Adjoint
         # padding for stride 1: (k-1-lo, k-1-hi) per dim.
         w_adj = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
@@ -192,4 +202,4 @@ class QConv(nn.Module):
                 a_scale = amax_var.value
 
         return quantized_conv(tuple(self.strides), padding, self.accum,
-                              self.bwd_quant, x, kernel, bias, a_scale)
+                              self.bwd_quant, (1, 1), x, kernel, bias, a_scale)

@@ -111,6 +111,23 @@ def upfirdn1d(x: jax.Array, kernel: jax.Array, *, up: int = 1, down: int = 1,
 # --- fused nearest-up2 + conv (HBM-pass elimination, no reference analogue)
 
 
+def up2_kernel3x3(kernel: jax.Array) -> jax.Array:
+    """Derive the 4x4 lhs-dilated kernel of ``conv3x3 ∘ nearest_up2`` from
+    the original 3x3 kernel: K4[a,b] = sum_{u,v in {0,1}} K[a-u, b-v]."""
+    K = kernel  # (3, 3, Ci, Co)
+    k4 = jnp.zeros((4, 4) + K.shape[2:], K.dtype)
+    for u in (0, 1):
+        for v in (0, 1):
+            k4 = k4.at[u:u + 3, v:v + 3].add(K)
+    return k4
+
+
+def up2_kernel1x1(kernel: jax.Array) -> jax.Array:
+    """2x2 lhs-dilated kernel of ``conv1x1 ∘ nearest_up2``: each input pixel
+    paints its 2x2 output block through W."""
+    return jnp.broadcast_to(kernel, (2, 2) + kernel.shape[2:])
+
+
 def up2_conv3x3(x: jax.Array, kernel: jax.Array,
                 bias: jax.Array | None = None) -> jax.Array:
     """``conv3x3(pad=1)(nearest_up2(x))`` as ONE lhs-dilated convolution.
@@ -126,13 +143,8 @@ def up2_conv3x3(x: jax.Array, kernel: jax.Array,
     off the half-res input.  Exact to float rounding
     (tests/test_kernels.py).
     """
-    K = kernel  # (3, 3, Ci, Co)
-    k4 = jnp.zeros((4, 4) + K.shape[2:], K.dtype)
-    for u in (0, 1):
-        for v in (0, 1):
-            k4 = k4.at[u:u + 3, v:v + 3].add(K)
     y = jax.lax.conv_general_dilated(
-        x, k4.astype(x.dtype), window_strides=(1, 1),
+        x, up2_kernel3x3(kernel).astype(x.dtype), window_strides=(1, 1),
         padding=((2, 2), (2, 2)), lhs_dilation=(2, 2),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if bias is not None:
@@ -145,10 +157,8 @@ def up2_conv1x1(x: jax.Array, kernel: jax.Array,
     """``conv1x1(nearest_up2(x))`` as ONE lhs-dilated 2x2 convolution
     (each input pixel paints its 2x2 output block through W) — removes the
     full-res broadcast entirely."""
-    W = kernel  # (1, 1, Ci, Co)
-    k2 = jnp.broadcast_to(W, (2, 2) + W.shape[2:])
     y = jax.lax.conv_general_dilated(
-        x, k2.astype(x.dtype), window_strides=(1, 1),
+        x, up2_kernel1x1(kernel).astype(x.dtype), window_strides=(1, 1),
         padding=((1, 1), (1, 1)), lhs_dilation=(2, 2),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if bias is not None:

@@ -38,7 +38,7 @@ def test_quantized_conv_matches_oracle():
     x = rng.standard_normal((2, 6, 5, 8)).astype(np.float32)
     w = (rng.standard_normal((3, 3, 8, 4)) * 0.2).astype(np.float32)
     b = rng.standard_normal(4).astype(np.float32)
-    got = quantized_conv((1, 1), ((1, 1), (1, 1)), "int32", False,
+    got = quantized_conv((1, 1), ((1, 1), (1, 1)), "int32", False, (1, 1),
                          jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), None)
     want = _conv_ref(x, w, b)
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4, rtol=1e-4)
@@ -50,7 +50,7 @@ def test_quantized_conv_accuracy_vs_f32():
     x = rng.standard_normal((2, 8, 8, 16)).astype(np.float32)
     w = (rng.standard_normal((3, 3, 16, 16)) * 0.1).astype(np.float32)
     b = np.zeros(16, np.float32)
-    q = np.asarray(quantized_conv((1, 1), ((1, 1), (1, 1)), "int32", False,
+    q = np.asarray(quantized_conv((1, 1), ((1, 1), (1, 1)), "int32", False, (1, 1),
                                   jnp.asarray(x), jnp.asarray(w),
                                   jnp.asarray(b), None))
     f = np.asarray(jax.lax.conv_general_dilated(
@@ -69,7 +69,7 @@ def test_ste_gradients_match_plain_conv():
     g = jnp.asarray(rng.standard_normal((1, 5, 5, 3)).astype(np.float32))
 
     def loss_q(x, w, b):
-        return jnp.sum(quantized_conv((1, 1), ((1, 1), (1, 1)), "int32", False,
+        return jnp.sum(quantized_conv((1, 1), ((1, 1), (1, 1)), "int32", False, (1, 1),
                                        x, w, b, None) * g)
 
     def loss_f(x, w, b):
@@ -139,10 +139,10 @@ def test_accum_dtype_close_to_int32(accum):
     x = rng.standard_normal((2, 8, 8, 16)).astype(np.float32)
     w = (rng.standard_normal((3, 3, 16, 16)) * 0.1).astype(np.float32)
     exact = np.asarray(quantized_conv(
-        (1, 1), ((1, 1), (1, 1)), "int32", False,
+        (1, 1), ((1, 1), (1, 1)), "int32", False, (1, 1),
         jnp.asarray(x), jnp.asarray(w), None, None))
     got = np.asarray(quantized_conv(
-        (1, 1), ((1, 1), (1, 1)), accum, False,
+        (1, 1), ((1, 1), (1, 1)), accum, False, (1, 1),
         jnp.asarray(x), jnp.asarray(w), None, None), np.float32)
     rel = np.linalg.norm(got - exact) / np.linalg.norm(exact)
     assert rel < (6e-3 if accum == "bfloat16" else 1e-6), rel
@@ -163,7 +163,7 @@ def test_bwd_quant_adjoint_close_to_plain(ks, pad):
 
     def loss(bwd):
         return lambda xx, ww, bb: jnp.sum(quantized_conv(
-            (1, 1), pad, "int32", bwd, xx, ww, bb, None) * g)
+            (1, 1), pad, "int32", bwd, (1, 1), xx, ww, bb, None) * g)
 
     dq = jax.grad(loss(True), argnums=(0, 1, 2))(x, w, b)
     df = jax.grad(loss(False), argnums=(0, 1, 2))(x, w, b)

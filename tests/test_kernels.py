@@ -145,3 +145,39 @@ def test_resblock_fuse_up_parity(rng):
     c = fused.apply(params, x, temb)
     np.testing.assert_allclose(np.asarray(c), np.asarray(a),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_resblock_fuse_up_qconv_parity(rng):
+    """int8 + fuse_up compose: same param tree as the unfused int8 block,
+    output within quantization tolerance of the unfused int8 path, and
+    STE input-gradients flow (finite, close to the float-fused block's)."""
+    from buddy_tpu.models.layers import ResnetBlockBigGANpp, get_act
+
+    act = get_act("swish")
+    kw = dict(act=act, out_ch=12, up=True, dropout=0.0, skip_rescale=True,
+              init_scale=0.0, temb=True)
+    q_naive = ResnetBlockBigGANpp(**kw, qconv=True)
+    q_fused = ResnetBlockBigGANpp(**kw, qconv=True, fuse_up=True)
+    f_fused = ResnetBlockBigGANpp(**kw, fuse_up=True)
+    x = jnp.asarray(rng.standard_normal((2, 6, 8, 16)).astype(np.float32) * 0.3)
+    temb = jnp.asarray(rng.standard_normal((2, 32)).astype(np.float32))
+    params = q_naive.init(jax.random.PRNGKey(0), x, temb)
+    pf = q_fused.init(jax.random.PRNGKey(0), x, temb)
+    assert (jax.tree_util.tree_structure(pf)
+            == jax.tree_util.tree_structure(params))
+
+    a = np.asarray(q_naive.apply(params, x, temb))
+    c = np.asarray(q_fused.apply(params, x, temb))
+    f = np.asarray(f_fused.apply(params, x, temb))
+    rel_q = np.linalg.norm(c - a) / np.linalg.norm(a)
+    rel_f = np.linalg.norm(c - f) / np.linalg.norm(f)
+    assert rel_q < 0.05, rel_q   # two int8 quantization points differ
+    assert rel_f < 0.05, rel_f   # and both stay near the float output
+
+    g = jnp.asarray(rng.standard_normal(c.shape).astype(np.float32))
+    gq = jax.grad(lambda xx: jnp.sum(q_fused.apply(params, xx, temb) * g))(x)
+    gf = jax.grad(lambda xx: jnp.sum(f_fused.apply(params, xx, temb) * g))(x)
+    assert np.isfinite(np.asarray(gq)).all()
+    rel_g = (np.linalg.norm(np.asarray(gq - gf))
+             / np.linalg.norm(np.asarray(gf)))
+    assert rel_g < 0.05, rel_g   # STE backward == float-fused adjoint
