@@ -33,7 +33,7 @@ args = compose("conf_VCTK.yaml", [
     "network.quantize_bwd="
     f"{str(os.environ.get('BENCH_INT8_BWD', '0') == '1').lower()}",
     "network.fuse_resample="
-    f"{str(os.environ.get('BENCH_FUSE_UP', '0') == '1').lower()}",
+    f"{str(os.environ.get('BENCH_FUSE_UP', '1') == '1').lower()}",  # match bench.py
     "tester.posterior_sampling.guidance_jacobian="
     f"{os.environ.get('BENCH_GUIDANCE', 'full')}",
 ])
