@@ -1,0 +1,138 @@
+"""Production-scale (nf=128, T=50, B=8) trajectory drift of the quantized /
+identity-guidance variants vs the bf16 full-DPS serving path, on TPU.
+
+VERDICT r2 item 3 asked for the int8 error budget "over a full 50-step
+blind run" at trained scale.  The published checkpoint cannot be downloaded
+here (PARITY.md), so this runs the production architecture with the cached
+random init — the drift between variants is a real measure of numerical
+sensitivity of the 50-step program (same inputs, same rng, same operator
+init; the ONLY difference is the variant knob), even though the absolute
+outputs are not a trained dereverb.
+
+Builds the exact bench.py program (same compose overrides, same inputs)
+so the warm .jax_cache is reused.  Prints one JSON line.
+
+Usage: python scripts/tpu_int8_e2e_drift.py [T] [B]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from buddy_tpu.utils.device import enable_compilation_cache
+
+enable_compilation_cache()
+
+from buddy_tpu.config import compose, instantiate
+from buddy_tpu.models import NetworkBundle
+from buddy_tpu.diffusion.edm import EDM
+from buddy_tpu.operators.reverb import RIROperator
+from buddy_tpu.operators.subband import BlindSubbandFiltering
+from buddy_tpu.data.audio_io import read_wav
+
+T = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+B = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+AUDIO_LEN = 65536
+SR = 16000
+
+VARIANTS = {
+    # name -> (int8, guidance)
+    "bf16_full": (False, "full"),
+    "int8_full": (True, "full"),
+    "bf16_identity": (False, "identity"),
+    "int8_identity": (True, "identity"),
+}
+
+
+def build(int8: bool, guidance: str):
+    args = compose("conf_VCTK.yaml", [
+        "tester=blind_dereverberation_BUDDy",
+        f"tester.sampling_params.T={T}",
+        "network.compute_dtype=bfloat16",
+        f"network.quantize_int8={str(int8).lower()}",
+        "network.quantize_accum=int32",
+        "network.quantize_bwd=false",
+        "network.fuse_resample=true",
+        f"tester.posterior_sampling.guidance_jacobian={guidance}",
+    ])
+    module = instantiate(args["network"])
+    edm = EDM(sde_hp=dict(args["diff_params"]["sde_hp"]))
+    network = NetworkBundle(module)
+    network.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, AUDIO_LEN)),
+                 jnp.zeros((1,)))
+    sampler = instantiate(args["tester"]["sampler"], network, edm, args)
+    return args, sampler
+
+
+def make_batch(args):
+    cleans, ys = [], []
+    for b in range(B):
+        spk, utt = [("p226", "p226_003"), ("p287", "p287_005")][b % 2]
+        clean, _ = read_wav(
+            f"/root/reference/audio_examples/clean/{spk}/{utt}.wav")
+        rir, _ = read_wav(f"/root/reference/audio_examples/rir/{spk}/{utt}.wav")
+        rir = rir[int(np.argmax(np.abs(rir))):]
+        rir = rir / np.abs(rir).max()
+        rb = 4096
+        rir = np.pad(rir, (0, ((len(rir) + rb - 1) // rb) * rb - len(rir)))
+        seg = np.zeros(AUDIO_LEN, np.float32)
+        n = min(len(clean), AUDIO_LEN)
+        seg[:n] = clean[:n]
+        seg = 0.05 * seg / seg.std(ddof=1)
+        op_hp = args["tester"]["informed_dereverberation"]["op_hp"]
+        ref_op = RIROperator(op_hp, time_kernel_size=len(rir), sample_rate=SR)
+        ref_op.update_params(jnp.asarray(rir))
+        cleans.append(seg)
+        ys.append(np.asarray(ref_op.degradation(jnp.asarray(seg)[None, :])))
+    return np.stack(cleans), jnp.asarray(np.stack(ys))
+
+
+def main():
+    outs = {}
+    cleans = None
+    for name, (int8, guidance) in VARIANTS.items():
+        t0 = time.time()
+        args, sampler = build(int8, guidance)
+        if cleans is None:
+            cleans, ys = make_batch(args)
+        op_hp = args["tester"]["informed_dereverberation"]["op_hp"]
+        blind_op = BlindSubbandFiltering(op_hp, sample_rate=SR)
+        op_params_b, H_b = blind_op.reset_batched(jax.random.PRNGKey(3), B)
+        pred = sampler.predict_conditional_batched(
+            ys, blind_op, blind=True, rng=jax.random.PRNGKey(4),
+            op_params_batch=op_params_b, H_batch=H_b)
+        outs[name] = np.asarray(pred).reshape(B, -1)
+        print(f"{name}: ran in {time.time()-t0:.0f}s, "
+              f"finite={np.isfinite(outs[name]).all()}, "
+              f"std={outs[name].std():.4f}", file=sys.stderr, flush=True)
+
+    base = outs["bf16_full"]
+
+    def rel(a, b):
+        return float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12))
+
+    def corr(a, b):
+        a, b = a.ravel(), b.ravel()
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)
+                                     + 1e-12))
+
+    report = {"T": T, "B": B, "metrics": {}}
+    for name, o in outs.items():
+        report["metrics"][name] = {
+            "finite": bool(np.isfinite(o).all()),
+            "std": float(o.std()),
+            "rel_vs_bf16_full": rel(o, base),
+            "corr_vs_bf16_full": corr(o, base),
+        }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
