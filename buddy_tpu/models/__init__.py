@@ -29,6 +29,23 @@ class NetworkBundle:
         import jax
         import jax.numpy as jnp
         cached = self._load_param_cache(rng, x, cnoise, cache_dir)
+        if cached is None:
+            # A static-quant config only adds a "quant" collection of zero
+            # scalars to the init tree — if the non-static entry is cached,
+            # synthesize the quant zeros from an eval_shape trace (seconds)
+            # instead of paying the full cold host init (11-49 min).
+            base = self._load_param_cache(rng, x, cnoise, cache_dir,
+                                          force_static=False)
+            if base is not None and "quant" not in base:
+                import numpy as np
+                struct = jax.eval_shape(self.module.init, rng, x, cnoise)
+                struct = (dict(struct) if not isinstance(struct, dict)
+                          else struct)
+                if "quant" in struct:
+                    base = dict(base)
+                    base["quant"] = jax.tree.map(
+                        lambda s: np.zeros(s.shape, s.dtype), struct["quant"])
+                    cached = base
         if cached is not None:
             # Single visible device (the TPU tunnel): pack all leaves into
             # ONE host buffer, one transfer, and slice apart on device — the
@@ -100,7 +117,7 @@ class NetworkBundle:
     _APPLY_ONLY_FIELDS = ("compute_dtype", "quantize_int8", "quantize_accum",
                           "quantize_bwd", "quantize_static", "fuse_resample")
 
-    def _param_cache_path(self, rng, x, cnoise, cache_dir):
+    def _param_cache_path(self, rng, x, cnoise, cache_dir, force_static=None):
         import hashlib
         import os
         import re
@@ -120,14 +137,16 @@ class NetworkBundle:
         cfg = dict(getattr(self.module, "net_kwargs", ()) or ())
         get = lambda f: cfg.get(f, getattr(self.module, f, False))
         static_init = bool(get("quantize_int8") and get("quantize_static"))
+        if force_static is not None:
+            static_init = force_static
         spec = (f"{rep}|static_init={static_init}|{tuple(x.shape)}|{x.dtype}|"
                 f"{tuple(cnoise.shape)}|{np.asarray(rng).tobytes().hex()}")
         key = hashlib.sha1(spec.encode()).hexdigest()[:20]
         return os.path.join(cache_dir, f"init-{key}.npz")
 
-    def _load_param_cache(self, rng, x, cnoise, cache_dir):
+    def _load_param_cache(self, rng, x, cnoise, cache_dir, force_static=None):
         import os
-        path = self._param_cache_path(rng, x, cnoise, cache_dir)
+        path = self._param_cache_path(rng, x, cnoise, cache_dir, force_static)
         if path is None or not os.path.exists(path):
             return None
         import numpy as np

@@ -55,6 +55,26 @@ def test_cache_key_ignores_apply_only_fields(tmp_path):
     assert len(list(tmp_path.glob("init-*.npz"))) == 2
 
 
+def test_static_quant_synthesizes_from_nonstatic_cache(tmp_path):
+    """quantize_static only adds a 'quant' collection of zero scalars: when
+    the non-static entry is cached, init must synthesize those zeros from an
+    eval_shape trace instead of a full cold init (and write no new entry)."""
+    base = _init(tmp_path, quantize_int8=True)
+    files0 = set(tmp_path.glob("init-*.npz"))
+    m = NCSNpp(**SMALL, quantize_int8=True, quantize_static=True)
+    net = NetworkBundle(m)
+    sta = net.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 1, 64, 48), jnp.complex64),
+                   jnp.zeros((1,), jnp.float32), cache_dir=str(tmp_path))
+    assert set(tmp_path.glob("init-*.npz")) == files0  # nothing new written
+    assert "quant" in sta
+    assert all(np.asarray(v).item() == 0.0
+               for v in jax.tree.leaves(sta["quant"]))
+    for a, b in zip(jax.tree.leaves(base["params"]),
+                    jax.tree.leaves(sta["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_cache_opt_out(tmp_path, monkeypatch):
     monkeypatch.setenv("BUDDY_PARAM_CACHE", "0")
     _init(tmp_path)
