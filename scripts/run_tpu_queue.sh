@@ -21,20 +21,24 @@ step() {  # step <tag> [ENV=V ...]
   i=$((i+1))
 }
 
-# 0: baseline bf16 (warm cache — validates 3.371 under current tree)
-step bf16
-# 1: int8 with the rewritten quant chain (dynamic scales, int32 accum)
-step int8 BENCH_INT8=1
-# 2: int8 with dequant inside the conv op (bf16 accum)
-step int8_bf16accum BENCH_INT8=1 BENCH_INT8_ACCUM=bfloat16
-# 3: int8 + int8 dL/dx adjoint convs
-step int8_bwd BENCH_INT8=1 BENCH_INT8_ACCUM=bfloat16 BENCH_INT8_BWD=1
-# 4: bf16 + fused up-resample convs
-step fuseup BENCH_FUSE_UP=1
-# 5: larger serving batch
-step bf16_b16 BENCH_B=16
-# 6: identity-Jacobian guidance (skips the U-Net backward; ~2x FLOP cut)
-step idguide BENCH_GUIDANCE=identity
-# 7: identity guidance + int8 forward convs
-step idguide_int8 BENCH_GUIDANCE=identity BENCH_INT8=1 BENCH_INT8_ACCUM=bfloat16
+# 0: the driver's exact end-of-round command — validates the serving default
+#    (bf16 + fused up-convs, full guidance) under the CURRENT tree and warms
+#    .jax_cache so the driver's bench skips the cold compile
+step default
+# 1: best overall (int8 static scales + fused up-convs + identity guidance);
+#    reconfirms the 7.159 measurement under the current tree
+step int8s_id BENCH_INT8=1 BENCH_INT8_STATIC=1 BENCH_GUIDANCE=identity
+# 2: identity path at B=16 — the fwd-only program has lower arithmetic
+#    intensity than full DPS; batch scaling may not be done at B=8 there
+step id_b16 BENCH_GUIDANCE=identity BENCH_B=16
+# 3: training throughput — the one workload never TPU-measured (reference
+#    trains f32 batch 16); bf16 body variant after it
+if [ "$i" -ge "$START" ]; then
+  python scripts/tpu_train_step.py 16 float32 10 \
+    > /tmp/benchq_train_f32.json 2> /tmp/benchq_train_f32.log
+  cat /tmp/benchq_train_f32.json
+  python scripts/tpu_train_step.py 16 bfloat16 10 \
+    > /tmp/benchq_train_bf16.json 2> /tmp/benchq_train_bf16.log
+  cat /tmp/benchq_train_bf16.json
+fi
 echo "=== queue done ==="
