@@ -46,6 +46,11 @@ class NetworkBundle:
                     base["quant"] = jax.tree.map(
                         lambda s: np.zeros(s.shape, s.dtype), struct["quant"])
                     cached = base
+                    # Persist under the static key so the next cold process
+                    # loads it directly instead of re-paying the eval_shape
+                    # synthesis (~71 s for the production net).
+                    self._save_param_cache(rng, x, cnoise, cache_dir,
+                                           tree=cached)
         if cached is not None:
             # Single visible device (the TPU tunnel): pack all leaves into
             # ONE host buffer, one transfer, and slice apart on device — the
@@ -164,15 +169,17 @@ class NetworkBundle:
             node[leaf] = v
         return tree
 
-    def _save_param_cache(self, rng, x, cnoise, cache_dir):
+    def _save_param_cache(self, rng, x, cnoise, cache_dir, tree=None):
         import os
         path = self._param_cache_path(rng, x, cnoise, cache_dir)
         if path is None:
             return
         import jax
         import numpy as np
+        if tree is None:
+            tree = self.params
         flat = {}
-        for kp, leaf in jax.tree_util.tree_flatten_with_path(self.params)[0]:
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
             name = "/".join(getattr(p, "key", str(p)) for p in kp)
             arr = np.asarray(leaf)
             if arr.dtype == np.dtype("bfloat16"):  # npz can't store bf16

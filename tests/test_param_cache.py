@@ -58,7 +58,8 @@ def test_cache_key_ignores_apply_only_fields(tmp_path):
 def test_static_quant_synthesizes_from_nonstatic_cache(tmp_path):
     """quantize_static only adds a 'quant' collection of zero scalars: when
     the non-static entry is cached, init must synthesize those zeros from an
-    eval_shape trace instead of a full cold init (and write no new entry)."""
+    eval_shape trace instead of a full cold init, and persist the result
+    under the static key so later cold processes skip the synthesis too."""
     base = _init(tmp_path, quantize_int8=True)
     files0 = set(tmp_path.glob("init-*.npz"))
     m = NCSNpp(**SMALL, quantize_int8=True, quantize_static=True)
@@ -66,8 +67,19 @@ def test_static_quant_synthesizes_from_nonstatic_cache(tmp_path):
     sta = net.init(jax.random.PRNGKey(0),
                    jnp.zeros((1, 1, 64, 48), jnp.complex64),
                    jnp.zeros((1,), jnp.float32), cache_dir=str(tmp_path))
-    assert set(tmp_path.glob("init-*.npz")) == files0  # nothing new written
+    files1 = set(tmp_path.glob("init-*.npz"))
+    assert len(files1 - files0) == 1  # synthesized entry saved (static key)
     assert "quant" in sta
+    # a fresh init now loads the static entry directly (no new writes) and
+    # reproduces the same tree bit-exactly
+    net2 = NetworkBundle(NCSNpp(**SMALL, quantize_int8=True,
+                                quantize_static=True))
+    sta2 = net2.init(jax.random.PRNGKey(0),
+                     jnp.zeros((1, 1, 64, 48), jnp.complex64),
+                     jnp.zeros((1,), jnp.float32), cache_dir=str(tmp_path))
+    assert set(tmp_path.glob("init-*.npz")) == files1
+    for a, b in zip(jax.tree.leaves(sta), jax.tree.leaves(sta2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert all(np.asarray(v).item() == 0.0
                for v in jax.tree.leaves(sta["quant"]))
     for a, b in zip(jax.tree.leaves(base["params"]),
