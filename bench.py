@@ -17,6 +17,13 @@ Prints ONE JSON line:
     {"metric": ..., "value": RTF, "unit": "x_realtime", "vs_baseline": ...}
 vs_baseline is measured against the >10x-real-time north-star target
 (the reference repo publishes no numbers of its own, BASELINE.md).
+
+``value`` is always the parity-faithful program (full DPS guidance — the
+reference's exact algorithm, testing/EulerHeunSamplerDPS.py:61-69).  The
+same run also measures ``rtf_fast``: the identity-Jacobian guidance variant
+(MPGD/PiGDM-style, skips the U-Net vjp) on the same network — the fast
+serving profile documented in README.md; QUALITY.md carries the
+trained-weights quality evidence for it.  BENCH_FAST=0 disables it.
 """
 
 import json
@@ -157,6 +164,18 @@ def main():
 
     # --- blind dereverb RTF, batched ---------------------------------------
     sampler = instantiate(args["tester"]["sampler"], network, edm, args)
+    FAST = os.environ.get("BENCH_FAST", "1") == "1"
+    fast_guidance = os.environ.get("BENCH_FAST_GUIDANCE", "identity")
+    sampler_fast = None
+    if FAST and fast_guidance != args["tester"]["posterior_sampling"].get(
+            "guidance_jacobian", "full"):
+        # same network/params — only the sampler's guidance mode differs
+        import copy
+        args_fast = copy.deepcopy(args)
+        args_fast["tester"]["posterior_sampling"]["guidance_jacobian"] = \
+            fast_guidance
+        sampler_fast = instantiate(args_fast["tester"]["sampler"], network,
+                                   edm, args_fast)
 
     # build a B-utterance batch from the two reference example speakers
     ys = []
@@ -187,36 +206,44 @@ def main():
     print(f"bench: operator ready ({time.time()-t_setup:.0f}s); compiling "
           f"blind program (B={B}, {DTYPE})...", file=sys.stderr, flush=True)
 
-    def run_once(key):
-        pred = sampler.predict_conditional_batched(
-            ys, blind_op, blind=True, rng=key,
-            op_params_batch=op_params_b, H_batch=H_b)
-        return np.asarray(pred)
+    setup_s = time.time() - t_setup  # everything before the blind compiles
 
-    error = None
-    wall = None
-    compile_s = None
-    try:
-        t0 = time.perf_counter()
-        run_once(jax.random.PRNGKey(4))  # compile + first run
-        compile_s = time.perf_counter() - t0
-        print(f"bench: blind program compiled+ran ({compile_s:.0f}s); timing...",
-              file=sys.stderr, flush=True)
-
-        n_rep = int(os.environ.get("BENCH_REPS", 3))
-        times = []
-        for i in range(n_rep):
+    def time_program(smp, tag):
+        """Compile + min-of-reps wall time for one sampler's blind program.
+        Returns (wall, compile_s, error)."""
+        def run_once(key):
+            pred = smp.predict_conditional_batched(
+                ys, blind_op, blind=True, rng=key,
+                op_params_batch=op_params_b, H_batch=H_b)
+            return np.asarray(pred)
+        try:
             t0 = time.perf_counter()
-            pred = run_once(jax.random.PRNGKey(5 + i))
-            times.append(time.perf_counter() - t0)
-            print(f"bench: rep {i}: {times[-1]:.2f}s", file=sys.stderr, flush=True)
-        wall = float(np.min(times))
-        assert np.isfinite(pred).all(), "non-finite output"
-    except Exception as e:  # noqa: BLE001 — always emit the JSON line
-        error = str(e)[:200]
+            run_once(jax.random.PRNGKey(4))  # compile + first run
+            comp = time.perf_counter() - t0
+            print(f"bench: {tag} program compiled+ran ({comp:.0f}s); timing...",
+                  file=sys.stderr, flush=True)
+            n_rep = int(os.environ.get("BENCH_REPS", 3))
+            times = []
+            for i in range(n_rep):
+                t0 = time.perf_counter()
+                pred = run_once(jax.random.PRNGKey(5 + i))
+                times.append(time.perf_counter() - t0)
+                print(f"bench: {tag} rep {i}: {times[-1]:.2f}s",
+                      file=sys.stderr, flush=True)
+            assert np.isfinite(pred).all(), "non-finite output"
+            return float(np.min(times)), comp, None
+        except Exception as e:  # noqa: BLE001 — always emit the JSON line
+            return None, None, str(e)[:200]
+
+    wall, compile_s, error = time_program(sampler, "blind")
+    wall_fast = compile_fast_s = None
+    if sampler_fast is not None and error is None:
+        wall_fast, compile_fast_s, _efast = time_program(sampler_fast,
+                                                         f"fast/{fast_guidance}")
 
     audio_seconds = B * AUDIO_LEN / SR
     rtf = audio_seconds / wall if wall else 0.0
+    rtf_fast = audio_seconds / wall_fast if wall_fast else None
 
     result = {
         "metric": "Blind dereverb real-time factor (50-step EDM); score-net ms/step",
@@ -229,10 +256,21 @@ def main():
         "dtype": DTYPE + ("+int8" if INT8 else ""),
         "audio_seconds": round(audio_seconds, 3),
         "compile_s": round(compile_s, 1) if compile_s else None,
-        "setup_s": round(time.time() - t_setup, 1),
+        # setup_s = time-to-ready (init + calibration + data prep), BEFORE
+        # the blind compiles/reps; total_s = the whole bench run
+        "setup_s": round(setup_s, 1),
+        "total_s": round(time.time() - t_setup, 1),
         "device": str(jax.devices()[0]),
         "T": T_STEPS,
     }
+    if rtf_fast is not None:
+        result["rtf_fast"] = round(rtf_fast, 3)
+        result["fast_config"] = {
+            "guidance_jacobian": fast_guidance, "dtype": DTYPE,
+            "fuse_resample": os.environ.get("BENCH_FUSE_UP", "1") == "1",
+            "int8": INT8, "compile_s": round(compile_fast_s, 1)
+            if compile_fast_s else None,
+            "blind_50step_wall_s": round(wall_fast, 3)}
     if error:
         result["error"] = error
     print(json.dumps(result))

@@ -66,7 +66,15 @@ def _frame_polyphase(x: jax.Array, n_fft: int, hop: int, n_frames: int) -> jax.A
 
 
 def _overlap_add_polyphase(frames: jax.Array, n_fft: int, hop: int) -> jax.Array:
-    """Inverse of _frame_polyphase: overlap-add with slice-adds (no scatter)."""
+    """Inverse of _frame_polyphase: overlap-add with static pads + a sum.
+
+    Frames within one phase group r (t = k*g + r) are non-overlapping, so
+    each group flattens to a strided lane; groups are then aligned with
+    STATIC zero-pads and summed.  Earlier this used a chain of
+    dynamic_update_slice ops — under vmap (the batched blind-DPS program)
+    those lower to SCATTERS, which serialize on TPU and were ~0.8 ms/step
+    of the blind inner loop; pads + adds are layout-free and batchable.
+    """
     n_frames = frames.shape[-2]
     g = -(-n_fft // hop)
     span = g * hop
@@ -78,12 +86,12 @@ def _overlap_add_polyphase(frames: jax.Array, n_fft: int, hop: int) -> jax.Array
     if span > n_fft:
         fr = jnp.pad(fr, [(0, 0)] * (fr.ndim - 1) + [(0, span - n_fft)])
     total = (g - 1) * hop + k_max * span
-    out = jnp.zeros(frames.shape[:-2] + (total,), frames.dtype)
+    out = None
     for r in range(g):
         flat = fr[..., :, r, :].reshape(frames.shape[:-2] + (k_max * span,))
-        out = jax.lax.dynamic_update_slice_in_dim(
-            out, jax.lax.dynamic_slice_in_dim(out, r * hop, k_max * span, axis=-1)
-            + flat, r * hop, axis=-1)
+        flat = jnp.pad(flat, [(0, 0)] * (flat.ndim - 1)
+                       + [(r * hop, total - r * hop - k_max * span)])
+        out = flat if out is None else out + flat
     # valid OLA length for n_frames frames:
     ola_len = n_fft + hop * (n_frames - 1)
     return out[..., :ola_len]
