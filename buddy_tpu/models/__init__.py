@@ -144,6 +144,9 @@ class NetworkBundle:
         static_init = bool(get("quantize_int8") and get("quantize_static"))
         if force_static is not None:
             static_init = force_static
+        # "pc" = per-channel a_scale vectors (round 4) — older scalar-quant
+        # cache entries must not load into the per-channel variable shapes
+        static_init = "pc" if static_init else False
         spec = (f"{rep}|static_init={static_init}|{tuple(x.shape)}|{x.dtype}|"
                 f"{tuple(cnoise.shape)}|{np.asarray(rng).tobytes().hex()}")
         key = hashlib.sha1(spec.encode()).hexdigest()[:20]

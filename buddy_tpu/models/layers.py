@@ -170,11 +170,15 @@ class _FusedUpConv(nn.Module):
             k_up, pads = up2_kernel1x1(kernel), ((1, 1), (1, 1))
         a_scale = None
         if static_scale:
+            # per-input-channel maxima, matching QConv (scales fold into the
+            # derived lhs-dilated kernel inside quantized_conv)
+            c_in = x.shape[-1]
             amax_var = self.variable("quant", "a_scale",
-                                     lambda: jnp.zeros((), jnp.float32))
+                                     lambda: jnp.zeros((c_in,), jnp.float32))
             if self.is_mutable_collection("quant") and not self.is_initializing():
                 obs = jax.lax.stop_gradient(
-                    jnp.max(jnp.abs(x)).astype(jnp.float32))
+                    jnp.max(jnp.abs(x), axis=tuple(range(x.ndim - 1)))
+                    .astype(jnp.float32))
                 amax_var.value = jnp.maximum(amax_var.value, obs)
             else:
                 a_scale = amax_var.value

@@ -129,6 +129,63 @@ def irfft(X: jax.Array, n: int) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# window-folded real transforms: rfft(x * w) / irfft(X) * w with the window
+# baked into the constant DFT matrix.  Saves one full elementwise pass over
+# the frames tensor per transform — forward AND backward — on a backend that
+# does not fuse standalone elementwise chains (CLAUDE.md gotcha 6).  The fold
+# happens in float64 before the single f32 rounding, so it is slightly MORE
+# accurate than the two-step f32 multiply it replaces.
+# ---------------------------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def _np_window(wbytes: bytes, wdtype: str, n: int) -> np.ndarray:
+    return np.frombuffer(wbytes, dtype=np.dtype(wdtype)).reshape(n)
+
+
+@functools.lru_cache(maxsize=None)
+def _rdft_windowed_mats(n: int, wbytes: bytes, wdtype: str):
+    w = _np_window(wbytes, wdtype, n).astype(np.float64)[:, None]
+    k = np.arange(n, dtype=np.float64)[:, None]
+    f = np.arange(n // 2 + 1, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * k * f / n
+    return ((w * np.cos(ang)).astype(np.float32),
+            (w * -np.sin(ang)).astype(np.float32))
+
+
+def rfft_windowed(x: jax.Array, window: np.ndarray, n: int) -> jax.Array:
+    """jnp.fft.rfft(x * window, axis=-1); ``window`` must be a host numpy
+    array (a trace-time constant) of trailing length n."""
+    assert x.shape[-1] == n and window.shape[-1] == n
+    if not use_matmul(n):
+        return jnp.fft.rfft(x * jnp.asarray(window, x.dtype), axis=-1)
+    C, S = _rdft_windowed_mats(n, window.tobytes(), str(window.dtype))
+    return jax.lax.complex(_mm(x, C), _mm(x, S))
+
+
+@functools.lru_cache(maxsize=None)
+def _irdft_windowed_mats(n: int, wbytes: bytes, wdtype: str):
+    w = _np_window(wbytes, wdtype, n).astype(np.float64)[None, :]
+    F = n // 2 + 1
+    f = np.arange(F, dtype=np.float64)[:, None]
+    t = np.arange(n, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * f * t / n
+    scale = np.full((F, 1), 2.0 / n)
+    scale[0, 0] = 1.0 / n
+    if n % 2 == 0:
+        scale[-1, 0] = 1.0 / n
+    return ((np.cos(ang) * scale * w).astype(np.float32),
+            (-np.sin(ang) * scale * w).astype(np.float32))
+
+
+def irfft_windowed(X: jax.Array, window: np.ndarray, n: int) -> jax.Array:
+    """jnp.fft.irfft(X, n=n, axis=-1) * window with a host-numpy window."""
+    assert X.shape[-1] == n // 2 + 1 and window.shape[-1] == n
+    if not use_matmul(n):
+        return jnp.fft.irfft(X, n=n, axis=-1) * jnp.asarray(window)
+    C, S = _irdft_windowed_mats(n, window.tobytes(), str(window.dtype))
+    return _mm(jnp.real(X), C) + _mm(jnp.imag(X), S)
+
+
+# ---------------------------------------------------------------------------
 # complex transforms (frame-axis convolution of the subband filter)
 # ---------------------------------------------------------------------------
 @functools.lru_cache(maxsize=None)

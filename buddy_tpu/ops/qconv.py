@@ -63,7 +63,10 @@ def _plain_conv(strides, padding, lhs_dilation, x, w, b):
 
 
 def _quantize_act(x, a_scale):
-    """x -> (x_q int8, s_x f32 scalar).  ``a_scale`` None = dynamic."""
+    """x -> (x_q int8, s_x f32).  ``a_scale`` None = dynamic per-tensor;
+    a calibrated a_scale may be a scalar (per-tensor) or a (C_in,) vector
+    (per-channel — the quantize mul broadcasts over the channel axis at the
+    same cost, and the caller folds s_x into the weights)."""
     eps = jnp.float32(1e-12)
     if a_scale is None:
         s_x = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0 + eps
@@ -75,10 +78,17 @@ def _quantize_act(x, a_scale):
     return x_q, s_x
 
 
-def _quantize_w(w):
-    """w (HWIO) -> (w_q int8, s_w f32 (C_out,)).  Loop-invariant."""
+def _quantize_w(w, in_scale=None):
+    """w (HWIO) -> (w_q int8, s_w f32 (C_out,)).  Loop-invariant.
+
+    ``in_scale`` (C_in,) folds per-channel activation scales into the
+    weights before quantization (smooth-quant-style): the conv then needs
+    only the per-C_out dequant, and per-channel activation quantization
+    costs nothing at serve time."""
     eps = jnp.float32(1e-12)
     w32 = w.astype(jnp.float32)
+    if in_scale is not None:
+        w32 = w32 * in_scale[None, None, :, None]
     s_w = jnp.max(jnp.abs(w32), axis=(0, 1, 2)) / 127.0 + eps
     w_q = jnp.clip(jnp.round(w32 / s_w), -127, 127).astype(jnp.int8)
     return w_q, s_w
@@ -103,9 +113,23 @@ def quantized_conv(strides, padding, accum, bwd_quant, lhs_dilation,
     hashable statics; ``b`` and ``a_scale`` may be None (dynamic activation
     scale).  ``lhs_dilation=(2,2)`` serves the fused nearest-up2 convs
     (ops/resample.py:111) — the int8 kernel there is the derived 4x4/2x2."""
-    x_q, s_x = _quantize_act(x, a_scale)
-    w_q, s_w = _quantize_w(w)
-    y = _int8_conv(x_q, w_q, strides, padding, accum, x.dtype, s_x * s_w,
+    if a_scale is not None and a_scale.ndim == 1:
+        # Per-channel calibrated activation scales, smooth-quant balanced:
+        # quantizing x with the full per-channel spread and folding it into
+        # the weights just moves the error into coarse weight quantization,
+        # so split the spread geometrically (alpha=0.5) — x sees sqrt of
+        # its channel spread, the weights absorb the other sqrt.  The fold
+        # is loop-invariant (calibrated constants), the dequant epilogue
+        # stays the per-C_out vector: zero extra serve-time cost.
+        a_bal = jnp.sqrt(jnp.maximum(a_scale, 1e-12) * jnp.max(a_scale))
+        x_q, s_x = _quantize_act(x, a_bal)
+        w_q, s_w = _quantize_w(w, in_scale=s_x)
+        scale = s_w
+    else:
+        x_q, s_x = _quantize_act(x, a_scale)
+        w_q, s_w = _quantize_w(w)
+        scale = s_x * s_w
+    y = _int8_conv(x_q, w_q, strides, padding, accum, x.dtype, scale,
                    lhs_dilation)
     if b is not None:
         y = y + b.astype(x.dtype)
@@ -192,11 +216,16 @@ class QConv(nn.Module):
 
         a_scale = None
         if self.static_scale:
+            # per-INPUT-channel calibrated |x| maxima: GN affine scales give
+            # channels wildly different ranges, and per-channel quantization
+            # is free at serve time (scales fold into the weights)
+            c_in = x.shape[-1]
             amax_var = self.variable("quant", "a_scale",
-                                     lambda: jnp.zeros((), jnp.float32))
+                                     lambda: jnp.zeros((c_in,), jnp.float32))
             if self.is_mutable_collection("quant") and not self.is_initializing():
                 obs = jax.lax.stop_gradient(
-                    jnp.max(jnp.abs(x)).astype(jnp.float32))
+                    jnp.max(jnp.abs(x), axis=tuple(range(x.ndim - 1)))
+                    .astype(jnp.float32))
                 amax_var.value = jnp.maximum(amax_var.value, obs)
             else:
                 a_scale = amax_var.value

@@ -32,11 +32,21 @@ import numpy as np
 from buddy_tpu.ops import dft
 
 
-def hann_window(n: int, dtype=jnp.float32) -> jax.Array:
-    """Periodic Hann window — torch.hann_window(n, periodic=True) parity."""
+def hann_window(n: int, dtype=jnp.float32):
+    """Periodic Hann window — torch.hann_window(n, periodic=True) parity.
+
+    Returned as HOST numpy for float32/float64 so stft/istft can fold it
+    into their constant DFT matrices (one fewer elementwise pass per
+    transform — see dft.rfft_windowed); other dtypes fall back to a device
+    array and the legacy multiply path.
+    """
     # periodic=True means the window is hann(n+1)[:-1]: 0.5*(1-cos(2*pi*k/n)).
     k = np.arange(n)
     w = 0.5 * (1.0 - np.cos(2.0 * np.pi * k / n))
+    if dtype in (jnp.float32, np.float32, "float32"):
+        return w.astype(np.float32)
+    if dtype in (jnp.float64, np.float64, "float64"):
+        return w.astype(np.float64)
     return jnp.asarray(w, dtype=dtype)
 
 
@@ -97,10 +107,40 @@ def _overlap_add_polyphase(frames: jax.Array, n_fft: int, hop: int) -> jax.Array
     return out[..., :ola_len]
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length", "center", "pad_mode"))
+def _stft_impl(x, window, *, n_fft, hop_length, center, pad_mode):
+    if center:
+        pad = n_fft // 2
+        pad_widths = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
+        x = jnp.pad(x, pad_widths, mode=pad_mode)
+    length = x.shape[-1]
+    n_frames = 1 + (length - n_fft) // hop_length
+    frames = _frame_polyphase(x, n_fft, hop_length, n_frames)
+    if isinstance(window, np.ndarray):
+        # window folded into the constant DFT matrix: no frames*window pass
+        spec = dft.rfft_windowed(frames, window, n_fft)
+    else:
+        spec = dft.rfft(frames * window, n_fft)
+    return jnp.swapaxes(spec, -1, -2)  # (..., F, n_frames)
+
+
+@functools.lru_cache(maxsize=None)
+def _stft_np_jit(wbytes, wdtype, n_fft, hop_length, center, pad_mode):
+    window = np.frombuffer(wbytes, dtype=np.dtype(wdtype)).reshape(n_fft)
+    return jax.jit(functools.partial(
+        _stft_impl, window=window, n_fft=n_fft, hop_length=hop_length,
+        center=center, pad_mode=pad_mode))
+
+
+_stft_traced = functools.partial(
+    jax.jit, static_argnames=("n_fft", "hop_length", "center", "pad_mode"))(
+        lambda x, window, *, n_fft, hop_length, center, pad_mode:
+        _stft_impl(x, window, n_fft=n_fft, hop_length=hop_length,
+                   center=center, pad_mode=pad_mode))
+
+
 def stft(
     x: jax.Array,
-    window: jax.Array,
+    window,
     *,
     n_fft: int,
     hop_length: int,
@@ -111,56 +151,57 @@ def stft(
 
     Args:
         x: (..., T) real signal.
-        window: (n_fft,) analysis window (already padded to n_fft).
+        window: (n_fft,) analysis window (already padded to n_fft).  A host
+            numpy window (the usual case — hann_window returns numpy) is a
+            trace-time constant and gets folded into the DFT matmul.
     Returns:
         (..., n_fft//2 + 1, n_frames) complex64 spectrogram.
     """
     assert window.shape[-1] == n_fft, "window must be length n_fft (pre-padded)"
-    if center:
-        pad = n_fft // 2
-        pad_widths = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
-        x = jnp.pad(x, pad_widths, mode=pad_mode)
-    length = x.shape[-1]
-    n_frames = 1 + (length - n_fft) // hop_length
-    frames = _frame_polyphase(x, n_fft, hop_length, n_frames)
-    spec = dft.rfft(frames * window, n_fft)
-    return jnp.swapaxes(spec, -1, -2)  # (..., F, n_frames)
+    if isinstance(window, np.ndarray):
+        f = _stft_np_jit(window.tobytes(), str(window.dtype), n_fft,
+                         hop_length, center, pad_mode)
+        return f(x)
+    return _stft_traced(x, window, n_fft=n_fft, hop_length=hop_length,
+                        center=center, pad_mode=pad_mode)
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length", "center", "length"))
-def istft(
-    spec: jax.Array,
-    window: jax.Array,
-    *,
-    n_fft: int,
-    hop_length: int,
-    center: bool = True,
-    length: int | None = None,
-) -> jax.Array:
-    """torch.istft parity (onesided, normalized=False).
+def _clear_stft_cache():
+    """Drop cached traces (tests flip BUDDY_DFT_MATMUL, a trace-time choice)."""
+    _stft_np_jit.cache_clear()
+    _stft_traced.clear_cache()
 
-    Overlap-adds windowed irfft frames, divides by the window-squared
-    envelope, trims the ``center`` padding, and crops/zero-pads to ``length``.
 
-    Args:
-        spec: (..., F, n_frames) complex spectrogram with F == n_fft//2 + 1.
-    Returns:
-        (..., out_length) real signal.
-    """
-    assert window.shape[-1] == n_fft
-    frames = dft.irfft(jnp.swapaxes(spec, -1, -2), n_fft)
-    frames = frames * window  # synthesis window
-    n_frames = frames.shape[-2]
-    ola_len = n_fft + hop_length * (n_frames - 1)
+stft.clear_cache = _clear_stft_cache
 
-    y = _overlap_add_polyphase(frames, n_fft, hop_length)
 
-    # window-squared envelope (constant-folds when the window is a literal)
-    wsq = jnp.broadcast_to(window * window, (n_frames, n_fft))
-    env = _overlap_add_polyphase(wsq, n_fft, hop_length)
-    # torch.istft asserts the envelope is nonzero over the output region; we
-    # guard the division the same way its kernel does (tiny-envelope -> skip).
-    y = y / jnp.where(env > 1e-11, env, 1.0)
+def _istft_impl(spec, window, *, n_fft, hop_length, center, length):
+    if isinstance(window, np.ndarray):
+        # synthesis window folded into the inverse-DFT matrix (no mul pass);
+        # envelope computed on the host at trace time
+        frames = dft.irfft_windowed(jnp.swapaxes(spec, -1, -2), window, n_fft)
+        n_frames = frames.shape[-2]
+        ola_len = n_fft + hop_length * (n_frames - 1)
+        wsq = (window.astype(np.float64) ** 2)
+        env_np = np.zeros(ola_len, np.float64)
+        for t in range(n_frames):
+            env_np[t * hop_length: t * hop_length + n_fft] += wsq
+        env = jnp.asarray(np.where(env_np > 1e-11, env_np, 1.0)
+                          .astype(np.float32))
+        y = _overlap_add_polyphase(frames, n_fft, hop_length)
+        y = y / env
+    else:
+        frames = dft.irfft(jnp.swapaxes(spec, -1, -2), n_fft)
+        frames = frames * window  # synthesis window
+        n_frames = frames.shape[-2]
+        ola_len = n_fft + hop_length * (n_frames - 1)
+        y = _overlap_add_polyphase(frames, n_fft, hop_length)
+        # window-squared envelope (constant-folds when the window is a literal)
+        wsq = jnp.broadcast_to(window * window, (n_frames, n_fft))
+        env = _overlap_add_polyphase(wsq, n_fft, hop_length)
+        # torch.istft asserts the envelope is nonzero over the output region;
+        # we guard the division the same way its kernel does.
+        y = y / jnp.where(env > 1e-11, env, 1.0)
 
     if center:
         start = n_fft // 2
@@ -177,6 +218,58 @@ def istft(
             y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, length - ola_len)])
         y = y[..., :length]
     return y
+
+
+@functools.lru_cache(maxsize=None)
+def _istft_np_jit(wbytes, wdtype, n_fft, hop_length, center, length):
+    window = np.frombuffer(wbytes, dtype=np.dtype(wdtype)).reshape(n_fft)
+    return jax.jit(functools.partial(
+        _istft_impl, window=window, n_fft=n_fft, hop_length=hop_length,
+        center=center, length=length))
+
+
+_istft_traced = functools.partial(
+    jax.jit, static_argnames=("n_fft", "hop_length", "center", "length"))(
+        lambda spec, window, *, n_fft, hop_length, center, length:
+        _istft_impl(spec, window, n_fft=n_fft, hop_length=hop_length,
+                    center=center, length=length))
+
+
+def istft(
+    spec: jax.Array,
+    window,
+    *,
+    n_fft: int,
+    hop_length: int,
+    center: bool = True,
+    length: int | None = None,
+) -> jax.Array:
+    """torch.istft parity (onesided, normalized=False).
+
+    Overlap-adds windowed irfft frames, divides by the window-squared
+    envelope, trims the ``center`` padding, and crops/zero-pads to ``length``.
+    A host numpy window (the usual case) folds into the inverse-DFT matmul.
+
+    Args:
+        spec: (..., F, n_frames) complex spectrogram with F == n_fft//2 + 1.
+    Returns:
+        (..., out_length) real signal.
+    """
+    assert window.shape[-1] == n_fft
+    if isinstance(window, np.ndarray):
+        f = _istft_np_jit(window.tobytes(), str(window.dtype), n_fft,
+                          hop_length, center, length)
+        return f(spec)
+    return _istft_traced(spec, window, n_fft=n_fft, hop_length=hop_length,
+                         center=center, length=length)
+
+
+def _clear_istft_cache():
+    _istft_np_jit.cache_clear()
+    _istft_traced.clear_cache()
+
+
+istft.clear_cache = _clear_istft_cache
 
 
 def pad_spec_frames(spec: jax.Array, multiple: int = 16) -> jax.Array:

@@ -284,11 +284,19 @@ class EulerHeunSamplerDPS(EulerHeunSampler):
             opt = None
             opt_state = ()
 
-        step = lambda c, i: self._scan_step(operator, opt, blind, c, i, net_params)
+        # x_den rides the carry: only the final step's denoised estimate is
+        # consumed (EulerHeunSamplerDPS.py:178), so stacking all T of them
+        # (a (T, ...) buffer + one dynamic_update_slice per step) is waste
+        def step(c, i):
+            carry, _ = c
+            carry, x_den = self._scan_step(operator, opt, blind, carry, i,
+                                           net_params)
+            return (carry, x_den), None
+
         inputs = (t[:-1], t[1:], gamma[:-1])
-        (x, _, op_params, _, H), x_dens = jax.lax.scan(
-            step, (x, rng, op_params, opt_state, H), inputs)
-        x_den_final = x_dens[-1]
+        ((x, _, op_params, _, H), x_den_final), _ = jax.lax.scan(
+            step, ((x, rng, op_params, opt_state, H), jnp.zeros_like(x)),
+            inputs)
         return x, x_den_final, op_params, H
 
     def predict_conditional(self, y, operator, shape=None, blind=False,

@@ -43,15 +43,17 @@ AUDIO_LEN = 65536
 SR = 16000
 
 VARIANTS = {
-    # name -> (int8, guidance)
-    "bf16_full": (False, "full"),
-    "int8_full": (True, "full"),
-    "bf16_identity": (False, "identity"),
-    "int8_identity": (True, "identity"),
+    # name -> (int8, static, guidance)
+    "bf16_full": (False, False, "full"),
+    "int8_full": (True, False, "full"),
+    "int8static_full": (True, True, "full"),
+    "bf16_identity": (False, False, "identity"),
+    "int8_identity": (True, False, "identity"),
+    "int8static_identity": (True, True, "identity"),
 }
 
 
-def build(int8: bool, guidance: str):
+def build(int8: bool, static: bool, guidance: str):
     args = compose("conf_VCTK.yaml", [
         "tester=blind_dereverberation_BUDDy",
         f"tester.sampling_params.T={T}",
@@ -59,6 +61,7 @@ def build(int8: bool, guidance: str):
         f"network.quantize_int8={str(int8).lower()}",
         "network.quantize_accum=int32",
         "network.quantize_bwd=false",
+        f"network.quantize_static={str(static).lower()}",
         "network.fuse_resample=true",
         f"tester.posterior_sampling.guidance_jacobian={guidance}",
     ])
@@ -67,6 +70,20 @@ def build(int8: bool, guidance: str):
     network = NetworkBundle(module)
     network.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, AUDIO_LEN)),
                  jnp.zeros((1,)))
+    if static:
+        # calibrate per-channel activation scales over the sigma schedule
+        # at serving input scale — the same recipe as bench.py
+        kx, kn = jax.random.split(jax.random.PRNGKey(7))
+        xc = jax.random.normal(kx, (1, 1, AUDIO_LEN), jnp.float32) * 0.05
+        hp = args["diff_params"]["sde_hp"]
+        sigmas = np.geomspace(float(hp["sigma_max"]), float(hp["sigma_min"]), 8)
+        xs, cns = [], []
+        for s in sigmas:
+            xn = xc + s * jax.random.normal(kn, xc.shape, jnp.float32)
+            sig = jnp.full((1,), s, jnp.float32)
+            xs.append(edm.cin(sig)[:, None, None] * xn)
+            cns.append(edm.cnoise(sig))
+        network.calibrate_quant(xs, cns)
     sampler = instantiate(args["tester"]["sampler"], network, edm, args)
     return args, sampler
 
@@ -97,9 +114,9 @@ def make_batch(args):
 def main():
     outs = {}
     cleans = None
-    for name, (int8, guidance) in VARIANTS.items():
+    for name, (int8, static, guidance) in VARIANTS.items():
         t0 = time.time()
-        args, sampler = build(int8, guidance)
+        args, sampler = build(int8, static, guidance)
         if cleans is None:
             cleans, ys = make_batch(args)
         op_hp = args["tester"]["informed_dereverberation"]["op_hp"]

@@ -175,24 +175,40 @@ def test_bwd_quant_adjoint_close_to_plain(ks, pad):
                                    atol=1e-5, rtol=1e-5)
 
 
-def test_static_scale_calibration_matches_dynamic():
-    """Calibrate on an input, then a static-scale apply of the same input
-    must reproduce the dynamic-scale output exactly (same s_x)."""
+def test_static_scale_calibration_per_channel():
+    """Calibration observes per-input-channel |x| maxima; the static apply
+    (scales folded into the weights) must quantize at least as accurately
+    as the dynamic per-tensor path on the same input."""
     rng = np.random.default_rng(6)
-    x = jnp.asarray(rng.standard_normal((2, 8, 8, 8)).astype(np.float32))
+    x = rng.standard_normal((2, 8, 8, 8)).astype(np.float32)
+    # give channels wildly different ranges — the case per-channel wins
+    x = x * (10.0 ** np.linspace(-2, 1, 8, dtype=np.float32))[None, None, None]
+    x = jnp.asarray(x)
     dyn = QConv(4, (3, 3), padding=((1, 1), (1, 1)))
     sta = QConv(4, (3, 3), padding=((1, 1), (1, 1)), static_scale=True)
     variables = sta.init(jax.random.PRNGKey(0), x)
-    assert float(variables["quant"]["a_scale"]) == 0.0
-    out_dyn = dyn.apply({"params": variables["params"]}, x)
-    # calibrate: one observing pass
+    assert variables["quant"]["a_scale"].shape == (8,)
+    assert float(jnp.max(jnp.abs(variables["quant"]["a_scale"]))) == 0.0
+    # calibrate: one observing pass records the per-channel maxima
     _, mut = sta.apply(variables, x, mutable=["quant"])
-    amax = float(mut["quant"]["a_scale"])
-    assert abs(amax - float(jnp.max(jnp.abs(x)))) < 1e-6
+    np.testing.assert_allclose(
+        np.asarray(mut["quant"]["a_scale"]),
+        np.asarray(jnp.max(jnp.abs(x), axis=(0, 1, 2))), rtol=1e-6)
     out_sta = sta.apply({"params": variables["params"],
                          "quant": mut["quant"]}, x)
-    np.testing.assert_allclose(np.asarray(out_sta), np.asarray(out_dyn),
-                               atol=1e-6, rtol=1e-6)
+    out_dyn = dyn.apply({"params": variables["params"]}, x)
+    # float reference: plain conv with the same kernel
+    w = variables["params"]["kernel"]
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=jax.lax.conv_dimension_numbers(
+            x.shape, w.shape, ("NHWC", "HWIO", "NHWC")))
+    err = lambda a: float(jnp.linalg.norm(a - ref) / jnp.linalg.norm(ref))
+    e_sta, e_dyn = err(out_sta), err(out_dyn)
+    assert e_sta < 0.02, e_sta
+    # per-channel calibrated scales (smooth-quant alpha=0.5) should beat
+    # per-tensor dynamic on channel-heterogeneous inputs (measured ~0.55x)
+    assert e_sta < 0.75 * e_dyn, (e_sta, e_dyn)
 
 
 def test_network_calibrate_quant_roundtrip():
@@ -219,11 +235,12 @@ def test_network_calibrate_quant_roundtrip():
     finally:
         os.environ.pop("BUDDY_PARAM_CACHE")
     scales = jax.tree.leaves(sta.params["quant"])
-    assert len(scales) > 0 and all(float(s) == 0.0 for s in scales)
+    assert len(scales) > 0
+    assert all((np.asarray(s) == 0.0).all() for s in scales)
 
     sta.calibrate_quant([x], [t])
     scales = jax.tree.leaves(sta.params["quant"])
-    assert all(float(s) > 0.0 for s in scales)
+    assert all((np.asarray(s) > 0.0).all() for s in scales)
 
     out_dyn = np.asarray(dyn(x, t))
     out_sta = np.asarray(sta(x, t))

@@ -80,7 +80,7 @@ def test_static_quant_synthesizes_from_nonstatic_cache(tmp_path):
     assert set(tmp_path.glob("init-*.npz")) == files1
     for a, b in zip(jax.tree.leaves(sta), jax.tree.leaves(sta2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    assert all(np.asarray(v).item() == 0.0
+    assert all((np.asarray(v) == 0.0).all()
                for v in jax.tree.leaves(sta["quant"]))
     for a, b in zip(jax.tree.leaves(base["params"]),
                     jax.tree.leaves(sta["params"])):
