@@ -181,3 +181,35 @@ def test_resblock_fuse_up_qconv_parity(rng):
     rel_g = (np.linalg.norm(np.asarray(gq - gf))
              / np.linalg.norm(np.asarray(gf)))
     assert rel_g < 0.05, rel_g   # STE backward == float-fused adjoint
+
+
+def test_up2_conv1x1_custom_vjp_matches_plain():
+    """up2_conv1x1 (lhs-dilated) and its autodiff adjoints match the plain
+    conv1x1(nearest_up2(x)) formulation fwd and grad-wise."""
+    from buddy_tpu.models.layers import naive_upsample_2d
+    from buddy_tpu.ops.resample import up2_conv1x1
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 6, 8, 16)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((1, 1, 16, 12)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.standard_normal((12,)).astype(np.float32) * 0.1)
+    g = jnp.asarray(rng.standard_normal((2, 12, 16, 12)).astype(np.float32))
+
+    def plain(x, w, b):
+        up = naive_upsample_2d(x)
+        y = jax.lax.conv_general_dilated(
+            up, w, (1, 1), ((0, 0), (0, 0)),
+            dimension_numbers=jax.lax.conv_dimension_numbers(
+                up.shape, w.shape, ("NHWC", "HWIO", "NHWC")))
+        return y + b
+
+    for fn in (plain, up2_conv1x1):
+        np.testing.assert_allclose(np.asarray(fn(x, w, b)),
+                                   np.asarray(plain(x, w, b)),
+                                   atol=1e-5, rtol=1e-5)
+    gx_p, gw_p, gb_p = jax.grad(
+        lambda *a: jnp.sum(plain(*a) * g), argnums=(0, 1, 2))(x, w, b)
+    gx_c, gw_c, gb_c = jax.grad(
+        lambda *a: jnp.sum(up2_conv1x1(*a) * g), argnums=(0, 1, 2))(x, w, b)
+    for pa, cu in ((gx_p, gx_c), (gw_p, gw_c), (gb_p, gb_c)):
+        np.testing.assert_allclose(np.asarray(cu), np.asarray(pa),
+                                   atol=1e-4, rtol=1e-4)
