@@ -38,6 +38,17 @@ for r in rows:
         continue
     entries.append((self_t, occ, typ, name))
 
+# the gviz dump repeats every row (observed: each (type, name) appears
+# exactly twice with identical values) — dedupe or the totals double
+seen = set()
+deduped = []
+for t, occ, typ, name in entries:
+    if (typ, name) in seen:
+        continue
+    seen.add((typ, name))
+    deduped.append((t, occ, typ, name))
+entries = deduped
+
 total = sum(t for t, _, _, _ in entries)
 print(f"total device self-time: {total/1e3:.1f} ms  (T={T}, B={B})")
 print(f"per step: {total/1e3/T:.2f} ms;  per utt-step: {total/1e3/T/B:.3f} ms\n")
