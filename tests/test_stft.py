@@ -148,3 +148,41 @@ def test_minimum_phase_parity(rng):
 
     ours = np.asarray(minimum_phase_version(jnp.asarray(h)))
     np.testing.assert_allclose(ours, ref, atol=2e-3)
+
+
+def test_numpy_window_takes_folded_path(monkeypatch):
+    """hann_window returns host numpy and stft/istft route numpy windows
+    through the window-folded DFT bases (one fewer elementwise pass per
+    transform on TPU) — pin the dispatch so a refactor can't silently fall
+    back to the slower traced path."""
+    import buddy_tpu.ops.dft as dft_mod
+    import buddy_tpu.ops.stft as stft_mod
+
+    w = hann_window(510)
+    assert isinstance(w, np.ndarray)
+
+    calls = {"rfft_w": 0, "irfft_w": 0}
+    orig_r, orig_i = dft_mod.rfft_windowed, dft_mod.irfft_windowed
+
+    def count_r(x, window, n):
+        calls["rfft_w"] += 1
+        return orig_r(x, window, n)
+
+    def count_i(X, window, n):
+        calls["irfft_w"] += 1
+        return orig_i(X, window, n)
+
+    monkeypatch.setattr(dft_mod, "rfft_windowed", count_r)
+    monkeypatch.setattr(dft_mod, "irfft_windowed", count_i)
+    stft.clear_cache()
+    istft.clear_cache()
+    try:
+        x = jnp.asarray(np.random.default_rng(0)
+                        .standard_normal((1, 4096)).astype(np.float32))
+        X = stft(x, w, n_fft=510, hop_length=128)
+        y = istft(X, w, n_fft=510, hop_length=128, length=4096)
+        assert y.shape == (1, 4096)
+        assert calls["rfft_w"] == 1 and calls["irfft_w"] == 1
+    finally:
+        stft.clear_cache()
+        istft.clear_cache()
