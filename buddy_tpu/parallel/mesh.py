@@ -40,14 +40,29 @@ def init_distributed() -> bool:
     return True
 
 
-def make_mesh(dp: int = -1, devices: Optional[Sequence] = None) -> Mesh:
-    """Build a 1-D data-parallel mesh.  dp=-1 uses all available devices."""
+def make_mesh(dp: int = -1, tp: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a ("dp", "tp") device mesh.
+
+    ``dp`` data-parallel x ``tp`` tensor-parallel.  dp=-1 uses all devices
+    left after the tp axis is carved out.  tp=1 (the default) degenerates to
+    the 1-D data-parallel mesh every existing caller expects; tp>1 shards
+    the U-Net conv kernels' output-channel axis over ``tp`` (see
+    ``param_shardings``), with XLA/GSPMD inserting the ICI collectives.
+    The mesh is laid out tp-minor so tensor-parallel collectives ride the
+    fastest links.
+    """
     devices = list(devices if devices is not None else jax.devices())
+    tp = int(tp) if tp not in (None, 0, -1) else 1
     if dp in (-1, 0, None):
-        dp = len(devices)
-    assert dp <= len(devices), f"requested dp={dp} > {len(devices)} devices"
+        dp = len(devices) // tp
+    assert dp * tp <= len(devices), \
+        f"requested dp={dp} x tp={tp} > {len(devices)} devices"
     import numpy as np
-    return Mesh(np.asarray(devices[:dp]), axis_names=("dp",))
+    if tp == 1:
+        return Mesh(np.asarray(devices[:dp]), axis_names=("dp",))
+    return Mesh(np.asarray(devices[:dp * tp]).reshape(dp, tp),
+                axis_names=("dp", "tp"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -66,3 +81,34 @@ def shard_batch(mesh: Mesh, batch):
 def replicate(mesh: Mesh, tree):
     sharding = replicated_sharding(mesh)
     return jax.device_put(tree, sharding)
+
+
+def param_shardings(mesh: Mesh, tree):
+    """Tensor-parallel sharding rule for a network param pytree.
+
+    Conv kernels (the only 4-D leaves, HWIO) shard their output-channel
+    axis over ``tp`` when it divides; everything else (biases, GroupNorm
+    scale/shift, NIN/Dense weights, embeddings) is replicated and GSPMD
+    slices/reduces as needed.  Output-channel sharding keeps each device's
+    GroupNorm groups whole (group count is min(C//4, 32), so the C/tp shard
+    boundary always lands on a group boundary for the power-of-two widths
+    NCSN++ uses), which keeps the per-group stats local — no cross-tp
+    reduction inside GroupNorm.
+
+    With tp=1 meshes this returns replicated shardings everywhere, i.e. the
+    original pure-dp behavior.
+    """
+    tp = int(mesh.shape.get("tp", 1))
+
+    def rule(leaf):
+        if tp > 1 and getattr(leaf, "ndim", 0) == 4 and \
+                leaf.shape[-1] % tp == 0:
+            return NamedSharding(mesh, P(None, None, None, "tp"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, tree)
+
+
+def shard_params(mesh: Mesh, tree):
+    """device_put a param pytree with the tensor-parallel rule."""
+    return jax.device_put(tree, param_shardings(mesh, tree))

@@ -8,8 +8,13 @@ binning into 20 log bins, profiler hook, heavy/easy logging intervals.
 TPU-native design:
 * one jitted SPMD ``train_step``: loss + grad + clip + Adam + EMA + metrics
   in a single program; batches sharded over the ``dp`` mesh axis, params
-  replicated, XLA inserting psum reductions over ICI (the functional
-  replacement for training_stats' all_reduce, SURVEY.md §5),
+  replicated over ``dp``, XLA inserting psum reductions over ICI (the
+  functional replacement for training_stats' all_reduce, SURVEY.md §5),
+* optional tensor parallelism (``exp.mesh.tp`` > 1): conv kernels shard
+  their output-channel axis over the mesh's ``tp`` axis
+  (parallel/mesh.py:param_shardings) and GSPMD partitions the conv/GN
+  compute + inserts the tp collectives — Adam moments and EMA inherit the
+  same sharding, so optimizer state memory also scales down 1/tp,
 * metrics accumulate ON DEVICE between log intervals (the reference forces
   a GPU->CPU sync every step, trainer.py:203 — we fetch every
   ``log_interval`` steps only),
@@ -29,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from buddy_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+from buddy_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
 from buddy_tpu.training import checkpoint as ckpt
 from buddy_tpu.training import stats
 import buddy_tpu.utils.log as utils_logging
@@ -60,12 +65,13 @@ class Trainer:
         self.max_grad_norm = float(exp["max_grad_norm"])
         self.seed = int(exp["seed"])
 
+        tp = int(exp.get("mesh", {}).get("tp", 1) or 1)
         dp = int(exp.get("mesh", {}).get("dp", -1))
         if dp in (-1, 0):
-            dp = len(jax.devices())
+            dp = len(jax.devices()) // max(tp, 1)
         while self.batch_size % dp != 0:  # batch must divide over the dp axis
             dp -= 1
-        self.mesh = make_mesh(dp)
+        self.mesh = make_mesh(dp, tp)
 
         # optimizer: Adam (exp yaml) + global-norm clip (trainer.py:236-240)
         opt_cfg = exp["optimizer"]
@@ -85,7 +91,8 @@ class Trainer:
             x0 = jnp.zeros((1, 1, self.audio_len), jnp.float32)
             self.network.init(k, x0, jnp.zeros((1,), jnp.float32))
 
-        self.params = replicate(self.mesh, self.network.params)
+        # dp-replicated; conv kernels sharded over tp when the mesh has one
+        self.params = shard_params(self.mesh, self.network.params)
         self.ema_params = jax.tree.map(jnp.copy, self.params)
         self.opt_state = self.opt.init(self.params)
         self.it = 0
@@ -235,8 +242,8 @@ class Trainer:
                     return False
             params, it = ckpt.load_any_checkpoint(checkpoint_path, prefer_ema=False)
             ema, _ = ckpt.load_any_checkpoint(checkpoint_path, prefer_ema=True)
-            self.params = replicate(self.mesh, jax.tree.map(jnp.asarray, params))
-            self.ema_params = replicate(self.mesh, jax.tree.map(jnp.asarray, ema))
+            self.params = shard_params(self.mesh, jax.tree.map(jnp.asarray, params))
+            self.ema_params = shard_params(self.mesh, jax.tree.map(jnp.asarray, ema))
             # Adam first/second moments round-trip (reference trainer.py:171-178
             # saves the optimizer; re-initializing would silently diverge a
             # resumed run from an uninterrupted one)

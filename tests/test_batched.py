@@ -232,11 +232,11 @@ def test_dp8_matches_dp1_train_step():
     audio_len = 4096
     batch = 8
 
-    def run(dp):
+    def run(dp, tp=1):
         args = compose("conf_VCTK.yaml", [
             "network.nf=8", "network.ch_mult=[1,2]",
             f"exp.batch_size={batch}", f"exp.audio_len={audio_len}",
-            f"exp.mesh.dp={dp}",
+            f"exp.mesh.dp={dp}", f"exp.mesh.tp={tp}",
             "exp.resume=False", "logging.log=False", "logging.save_model=False",
         ])
         args["model_dir"] = "/tmp/buddy_dp_test"
@@ -256,14 +256,18 @@ def test_dp8_matches_dp1_train_step():
 
         trainer = instantiate(args["exp"]["trainer"], args, _Loader(), network,
                               diff_params, None)
-        assert trainer.mesh.devices.size == dp
+        assert trainer.mesh.devices.size == dp * tp
         trainer.train_step()
+        # any conv kernel actually sharded over tp? (replicated leaves say no)
+        tp_sharded = any(
+            getattr(leaf, "ndim", 0) == 4 and not leaf.sharding.is_fully_replicated
+            for leaf in jax.tree.leaves(trainer.params))
         metrics = jax.device_get(trainer._metrics_acc)
         params = jax.device_get(trainer.params)
-        return metrics, params
+        return metrics, params, tp_sharded
 
-    m1, p1 = run(1)
-    m8, p8 = run(8)
+    m1, p1, _ = run(1)
+    m8, p8, _ = run(8)
     np.testing.assert_allclose(m1["loss"], m8["loss"], rtol=1e-5)
     np.testing.assert_allclose(m1["grad_norm"], m8["grad_norm"], rtol=1e-5)
     np.testing.assert_allclose(m1["bin_sum"], m8["bin_sum"], rtol=1e-5, atol=1e-7)
@@ -271,4 +275,15 @@ def test_dp8_matches_dp1_train_step():
     # gradients are ~1e-12, so m/sqrt(v) is reduction-order-dominated — the
     # meaningful scale is one lr step (1e-4); gate an order below that.
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    # dp4 x tp2: conv kernels sharded over the tp axis (2-D mesh, GSPMD
+    # partitioning the conv/GroupNorm compute) — same numerics as dp=1
+    m42, p42, tp_sharded = run(4, tp=2)
+    assert tp_sharded, "no conv kernel was tp-sharded on the (4,2) mesh"
+    np.testing.assert_allclose(m1["loss"], m42["loss"], rtol=1e-5)
+    np.testing.assert_allclose(m1["grad_norm"], m42["grad_norm"], rtol=1e-5)
+    np.testing.assert_allclose(m1["bin_sum"], m42["bin_sum"], rtol=1e-5,
+                               atol=1e-7)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p42)):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
