@@ -120,7 +120,8 @@ class NetworkBundle:
     # of the same architecture — a full cold host init of the production
     # U-Net costs 11-49 min on the 1-core box.
     _APPLY_ONLY_FIELDS = ("compute_dtype", "quantize_int8", "quantize_accum",
-                          "quantize_bwd", "quantize_static", "fuse_resample")
+                          "quantize_bwd", "quantize_static", "fuse_resample",
+                          "remat")
 
     def _param_cache_path(self, rng, x, cnoise, cache_dir, force_static=None):
         import hashlib

@@ -73,6 +73,16 @@ class NCSNpp(nn.Module):
     # (exact math, skips the 4x-size HBM broadcast + its vjp reduce) —
     # perf knob, off by default for reference-graph parity
     fuse_resample: bool = False
+    # rematerialize each ResBlock in the backward pass (jax.checkpoint):
+    # exact numerics, trades ~1 extra forward of FLOPs for activation
+    # memory.  Measured on-chip (batch 16, 4 s f32 — the reference's
+    # production config) this does NOT fix the HBM fit: 20.0 GB of HLO
+    # temps WITH remat vs 18.2 GB without, because XLA already remats and
+    # the top-resolution block's within-block working set (conv inputs
+    # kept for weight grads) is irreducible per microbatch.  exp.grad_accum
+    # is the lever that fits that config; remat stays as a general
+    # memory/recompute knob.  Off by default.
+    remat: bool = False
 
     def setup(self):
         act = L.get_act(self.nonlinearity)
@@ -102,21 +112,28 @@ class NCSNpp(nn.Module):
                   if self.compute_dtype not in (None, "none", "float32") else None)
         self._cdtype = cdtype
 
+        # remat: lift jax.checkpoint over each ResBlock class — params and
+        # scope names are unchanged, only the vjp recomputes the block.
+        ddpm_cls = (nn.remat(L.ResnetBlockDDPMpp) if self.remat
+                    else L.ResnetBlockDDPMpp)
+        biggan_cls = (nn.remat(L.ResnetBlockBigGANpp) if self.remat
+                      else L.ResnetBlockBigGANpp)
+
         def ResBlock(name, *, in_ch, out_ch=None, up=False, down=False):
             common = dict(act=act, out_ch=out_ch, dropout=self.dropout,
                           init_scale=self.init_scale, skip_rescale=self.skip_rescale,
                           temb=time_conditional, dtype=cdtype, name=name)
             if self.resblock_type == "ddpm":
-                return L.ResnetBlockDDPMpp(**common)
+                return ddpm_cls(**common)
             if self.resblock_type == "biggan":
                 qcfg = ((self.quantize_accum, self.quantize_bwd,
                          self.quantize_static)
                         if self.quantize_int8 else False)
-                return L.ResnetBlockBigGANpp(up=up, down=down, fir=self.fir,
-                                             fir_kernel=self.fir_kernel,
-                                             qconv=qcfg,
-                                             fuse_up=self.fuse_resample,
-                                             **common)
+                return biggan_cls(up=up, down=down, fir=self.fir,
+                                  fir_kernel=self.fir_kernel,
+                                  qconv=qcfg,
+                                  fuse_up=self.fuse_resample,
+                                  **common)
             raise ValueError(f"resblock type {self.resblock_type} unrecognized.")
 
         def AttnBlock(name):
