@@ -40,29 +40,40 @@ def init_distributed() -> bool:
     return True
 
 
-def make_mesh(dp: int = -1, tp: int = 1,
+def make_mesh(dp: int = -1, tp: int = 1, sp: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Build a ("dp", "tp") device mesh.
+    """Build a ("dp"[, "tp"][, "sp"]) device mesh.
 
-    ``dp`` data-parallel x ``tp`` tensor-parallel.  dp=-1 uses all devices
-    left after the tp axis is carved out.  tp=1 (the default) degenerates to
-    the 1-D data-parallel mesh every existing caller expects; tp>1 shards
-    the U-Net conv kernels' output-channel axis over ``tp`` (see
-    ``param_shardings``), with XLA/GSPMD inserting the ICI collectives.
-    The mesh is laid out tp-minor so tensor-parallel collectives ride the
-    fastest links.
+    ``dp`` data-parallel x ``tp`` tensor-parallel x ``sp`` sequence-
+    parallel.  dp=-1 uses all devices left after the tp/sp axes are carved
+    out.  tp=sp=1 (the default) degenerates to the 1-D data-parallel mesh
+    every existing caller expects; tp>1 shards the U-Net conv kernels'
+    output-channel axis over ``tp`` (see ``param_shardings``); sp>1 shards
+    the waveform/time axis of each training example over ``sp`` (see
+    ``waveform_sharding``), with XLA/GSPMD inserting the ICI halo
+    exchanges for the convolutions and the psums for GroupNorm's spatial
+    statistics.  Axes are laid out dp-major / sp-minor so the per-conv
+    halo exchanges ride the fastest links.
     """
     devices = list(devices if devices is not None else jax.devices())
     tp = int(tp) if tp not in (None, 0, -1) else 1
+    sp = int(sp) if sp not in (None, 0, -1) else 1
     if dp in (-1, 0, None):
-        dp = len(devices) // tp
-    assert dp * tp <= len(devices), \
-        f"requested dp={dp} x tp={tp} > {len(devices)} devices"
+        dp = len(devices) // (tp * sp)
+    assert dp * tp * sp <= len(devices), \
+        f"requested dp={dp} x tp={tp} x sp={sp} > {len(devices)} devices"
     import numpy as np
-    if tp == 1:
+    shape = [("dp", dp)]
+    if tp > 1:
+        shape.append(("tp", tp))
+    if sp > 1:
+        shape.append(("sp", sp))
+    if len(shape) == 1:
         return Mesh(np.asarray(devices[:dp]), axis_names=("dp",))
-    return Mesh(np.asarray(devices[:dp * tp]).reshape(dp, tp),
-                axis_names=("dp", "tp"))
+    names = tuple(n for n, _ in shape)
+    dims = tuple(s for _, s in shape)
+    n = int(np.prod(dims))
+    return Mesh(np.asarray(devices[:n]).reshape(dims), axis_names=names)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -76,6 +87,22 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch):
     return jax.device_put(batch, batch_sharding(mesh))
+
+
+def waveform_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a (batch, samples) waveform batch: batch over ``dp``
+    and, when the mesh has an ``sp`` axis, the sample/time axis over
+    ``sp``.  GSPMD propagates the time-axis sharding through the STFT
+    framing (a split reshape) and the NHWC convolutions (spatial
+    partitioning with halo exchange), so one annotation at the jit input
+    sequence-parallelizes the whole train step."""
+    if "sp" in mesh.axis_names:
+        return NamedSharding(mesh, P("dp", "sp"))
+    return batch_sharding(mesh)
+
+
+def shard_waveform_batch(mesh: Mesh, batch):
+    return jax.device_put(batch, waveform_sharding(mesh))
 
 
 def replicate(mesh: Mesh, tree):
