@@ -60,6 +60,8 @@ def make_mesh(dp: int = -1, tp: int = 1, sp: int = 1,
     sp = int(sp) if sp not in (None, 0, -1) else 1
     if dp in (-1, 0, None):
         dp = len(devices) // (tp * sp)
+    assert dp >= 1, \
+        f"tp={tp} x sp={sp} leaves no devices for dp (have {len(devices)})"
     assert dp * tp * sp <= len(devices), \
         f"requested dp={dp} x tp={tp} x sp={sp} > {len(devices)} devices"
     import numpy as np
@@ -92,10 +94,13 @@ def shard_batch(mesh: Mesh, batch):
 def waveform_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for a (batch, samples) waveform batch: batch over ``dp``
     and, when the mesh has an ``sp`` axis, the sample/time axis over
-    ``sp``.  GSPMD propagates the time-axis sharding through the STFT
-    framing (a split reshape) and the NHWC convolutions (spatial
-    partitioning with halo exchange), so one annotation at the jit input
-    sequence-parallelizes the whole train step."""
+    ``sp``.  The annotation is an input hint only: GSPMD is free to
+    resolve the overlapped STFT framing (reflect-pad + offset strided
+    slices, ops/stft.py:_frame_polyphase) by all-gathering the time axis
+    rather than halo exchange, in which case sp spreads HBM pressure of
+    the input pipeline but not compute.  Numerics are gated
+    (tests/test_batched.py: sp-mesh == dp1); treat any perf claim as
+    unmeasured until profiled on real multi-chip hardware."""
     if "sp" in mesh.axis_names:
         return NamedSharding(mesh, P("dp", "sp"))
     return batch_sharding(mesh)

@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from buddy_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+from buddy_tpu.parallel.mesh import (make_mesh, shard_params,
+                                     shard_waveform_batch)
 from buddy_tpu.training import checkpoint as ckpt
 from buddy_tpu.training import stats
 import buddy_tpu.utils.log as utils_logging
@@ -80,12 +81,13 @@ class Trainer:
             f"batch_size {self.batch_size} % grad_accum {self.grad_accum}"
 
         tp = int(exp.get("mesh", {}).get("tp", 1) or 1)
+        sp = int(exp.get("mesh", {}).get("sp", 1) or 1)
         dp = int(exp.get("mesh", {}).get("dp", -1))
         if dp in (-1, 0):
-            dp = len(jax.devices()) // max(tp, 1)
+            dp = len(jax.devices()) // (max(tp, 1) * max(sp, 1))
         while self.batch_size % dp != 0:  # batch must divide over the dp axis
             dp -= 1
-        self.mesh = make_mesh(dp, tp)
+        self.mesh = make_mesh(dp, tp, sp)
 
         # optimizer: Adam (exp yaml) + global-norm clip (trainer.py:236-240)
         opt_cfg = exp["optimizer"]
@@ -258,7 +260,8 @@ class Trainer:
     def get_batch(self) -> Any:
         batch = self.dset.next_batch() if hasattr(self.dset, "next_batch") \
             else next(self.dset)
-        return shard_batch(self.mesh, np.asarray(batch, np.float32))
+        return shard_waveform_batch(self.mesh,
+                                    np.asarray(batch, np.float32))
 
     def train_step(self):
         batch = self.get_batch()

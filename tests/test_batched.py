@@ -232,11 +232,11 @@ def test_dp8_matches_dp1_train_step():
     audio_len = 4096
     batch = 8
 
-    def run(dp, tp=1):
+    def run(dp, tp=1, sp=1):
         args = compose("conf_VCTK.yaml", [
             "network.nf=8", "network.ch_mult=[1,2]",
             f"exp.batch_size={batch}", f"exp.audio_len={audio_len}",
-            f"exp.mesh.dp={dp}", f"exp.mesh.tp={tp}",
+            f"exp.mesh.dp={dp}", f"exp.mesh.tp={tp}", f"exp.mesh.sp={sp}",
             "exp.resume=False", "logging.log=False", "logging.save_model=False",
         ])
         args["model_dir"] = "/tmp/buddy_dp_test"
@@ -256,7 +256,7 @@ def test_dp8_matches_dp1_train_step():
 
         trainer = instantiate(args["exp"]["trainer"], args, _Loader(), network,
                               diff_params, None)
-        assert trainer.mesh.devices.size == dp * tp
+        assert trainer.mesh.devices.size == dp * tp * sp
         trainer.train_step()
         # any conv kernel actually sharded over tp? (replicated leaves say no)
         tp_sharded = any(
@@ -286,6 +286,16 @@ def test_dp8_matches_dp1_train_step():
     np.testing.assert_allclose(m1["bin_sum"], m42["bin_sum"], rtol=1e-5,
                                atol=1e-7)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p42)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    # dp4 x sp2: each example's time axis sharded over sp at the jit input
+    # (parallel/mesh.py:waveform_sharding) — same numerics as dp=1
+    msp, psp, _ = run(4, sp=2)
+    np.testing.assert_allclose(m1["loss"], msp["loss"], rtol=1e-5)
+    np.testing.assert_allclose(m1["grad_norm"], msp["grad_norm"], rtol=1e-5)
+    np.testing.assert_allclose(m1["bin_sum"], msp["bin_sum"], rtol=1e-5,
+                               atol=1e-7)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(psp)):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 

@@ -5,6 +5,8 @@ the churn noise — vanishes and the Euler/Heun update is deterministic, with
 a shared linear mock denoiser on both sides.
 """
 
+import os
+
 import numpy as np
 import pytest
 import torch
@@ -243,6 +245,24 @@ def test_wpe_reduces_reverb(rng):
     err_before = np.mean((y - x) ** 2)
     err_after = np.mean((z - x) ** 2)
     assert err_after < err_before
+
+
+def test_wpe_golden():
+    """Pinned WPE output (tests/goldens/wpe_golden.npz, regenerate with
+    tests/make_wpe_golden.py): real speech + seeded RIR through the
+    production warm-init params (taps=50, delay=2, iterations=5 —
+    conf/tester/blind_dereverberation_BUDDy.yaml).  Gates silent numeric
+    drift in the pure-JAX WPE (reference EulerHeunSamplerDPS.py:32-54);
+    nara_wpe isn't installable here, so the golden is self-pinning."""
+    from buddy_tpu.sampling.wpe import wpe_dereverb
+
+    g = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                             "wpe_golden.npz"))
+    z = np.asarray(wpe_dereverb(jnp.asarray(g["y"]), taps=50, delay=2,
+                                iterations=5))
+    assert np.isfinite(z).all()
+    scale = np.abs(g["z"]).max()
+    np.testing.assert_allclose(z, g["z"], atol=1e-4 * scale, rtol=0)
 
 
 def test_blind_batched_matches_single(rng):
