@@ -25,6 +25,7 @@ explicit parameter pytree ``{"decay", "weights", "phases"}`` so the
 
 from __future__ import annotations
 
+import os
 from typing import Dict
 
 import jax
@@ -85,6 +86,21 @@ class SubbandFiltering(Operator):
         pre = self.win_length // self.hop_length // 2 - 1  # 1 for 512/128
         T = X.shape[-1]
         Nf = H.shape[-1]
+        ch = self._os_chunk_count(T, Nf)
+        if ch > 1:
+            # overlap-save: chunk the output frames so the DFT size drops
+            # from good(T+Nf-1) to good(T/ch+Nf-1) — ~2.4x fewer matmul
+            # FLOPs at the production shape (T=516, Nf=100: 625 -> 240;
+            # scripts/tpu_stft_conv2_probe.py).  The first Nf-1 circularly
+            # wrapped outputs of each chunk are discarded, so the math is
+            # the textbook-exact linear convolution.
+            L = -(-T // ch)
+            fft_c = good_fft_size(L + Nf - 1)
+            if Xf is None:
+                Xf = self._frame_fft_os(X, ch, L, fft_c, pre, Nf)
+            Hf = dft.cfft(H, fft_c)
+            Y = dft.icfft_slice(Xf * Hf[..., None, :], fft_c, Nf - 1, L)
+            return Y.reshape(Y.shape[:-2] + (ch * L,))[..., :T]
         fft_size = good_fft_size(T + Nf - 1)
         if Xf is None:
             Xf = dft.cfft(X, fft_size)
@@ -93,12 +109,41 @@ class SubbandFiltering(Operator):
         Hf = dft.cfft(H, fft_size)
         return dft.icfft_slice(Xf * Hf, fft_size, pre, T)
 
+    def _os_chunk_count(self, T: int, Nf: int) -> int:
+        """Overlap-save chunk count: ~1.3*Nf output frames per chunk (the
+        probe's sweet spot), only for long spectrograms; BUDDY_SUBBAND_OS
+        forces (1 = on wherever matmul DFTs are, 0 = off)."""
+        env = os.environ.get("BUDDY_SUBBAND_OS", "auto")
+        enabled = dft._enabled() if env == "auto" else env == "1"
+        if not enabled or T < 256:
+            return 1
+        return max(1, int(round(T / (1.3 * Nf))))
+
+    def _frame_fft_os(self, X, ch, L, fft_c, pre, Nf):
+        """Segmented frame-axis FFT for overlap-save: output chunk c needs
+        input frames [c*L + pre - (Nf-1), c*L + pre + L)."""
+        xpad = jnp.pad(X, [(0, 0)] * (X.ndim - 1)
+                       + [(Nf - 1 - pre, L * ch - X.shape[-1] + pre)])
+        segs = jnp.stack([jax.lax.slice_in_dim(xpad, c * L, c * L + L + Nf - 1,
+                                               axis=-1)
+                          for c in range(ch)], axis=-2)  # (..., F, ch, L+Nf-1)
+        return dft.cfft(segs, fft_c)
+
     def frame_fft(self, X: jax.Array) -> jax.Array:
-        """Frame-axis FFT of a spectrogram at the conv size used by
+        """Frame-axis FFT of a spectrogram at the conv geometry used by
         ``subband_filtering`` — lets callers hoist the FFT of a constant X
-        out of the blind inner loop (10 re-uses per diffusion step)."""
-        fft_size = good_fft_size(X.shape[-1] + self.Nf - 1)
-        return dft.cfft(X, fft_size)
+        out of the blind inner loop (10 re-uses per diffusion step).
+        Returns the segmented overlap-save spectra (an extra chunk axis
+        before the last) when the chunked path is active for this length."""
+        T = X.shape[-1]
+        Nf = self.Nf
+        pre = self.win_length // self.hop_length // 2 - 1
+        ch = self._os_chunk_count(T, Nf)
+        if ch > 1:
+            L = -(-T // ch)
+            return self._frame_fft_os(X, ch, L, good_fft_size(L + Nf - 1),
+                                      pre, Nf)
+        return dft.cfft(X, good_fft_size(T + Nf - 1))
 
     def degradation(self, x: jax.Array | None, mode: str = "waveform",
                     H: jax.Array | None = None, detach_operator: bool = False,

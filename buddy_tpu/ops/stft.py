@@ -24,12 +24,27 @@ as MXU matmuls against constant DFT matrices (XLA's TPU FFT runs them at
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from buddy_tpu.ops import dft
+
+
+def _conv_enabled() -> bool:
+    """Conv-formulated framing+DFT (see _stft_conv/_istft_conv below).
+
+    auto: on wherever the matmul DFTs are on (non-CPU backends).
+    BUDDY_STFT_CONV=0|1 forces.
+    """
+    env = os.environ.get("BUDDY_STFT_CONV", "auto")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    return dft._enabled()
 
 
 def hann_window(n: int, dtype=jnp.float32):
@@ -107,6 +122,53 @@ def _overlap_add_polyphase(frames: jax.Array, n_fft: int, hop: int) -> jax.Array
     return out[..., :ola_len]
 
 
+def _window_support(w: np.ndarray) -> int:
+    """Length of the window's nonzero prefix (the operators right-pad a
+    hann(512) to n_fft=1024, so half the DFT rows/columns are zero)."""
+    nz = np.nonzero(w)[0]
+    return int(nz[-1]) + 1 if len(nz) else len(w)
+
+
+@functools.lru_cache(maxsize=None)
+def _stft_conv_kernel(n_fft: int, hop: int, wbytes: bytes, wdtype: str):
+    """Framing + windowed rfft as ONE stride-1 conv over hop-sample blocks.
+
+    Frame t starts at t*hop, so with the signal reshaped to (nb, hop)
+    blocks, spec[t] = sum_j blocks[t+j] @ W[j*hop:(j+1)*hop] — a stride-1
+    conv with kernel taps = the window-folded DFT matrix cut into hop-row
+    slices.  Only ceil(support/hop) taps are nonzero (the rest of the
+    window is zero), so a 512-in-1024 window does HALF the FLOPs of the
+    full-frame matmul — and the 8-slice+stack framing disappears.
+    Stride-1 means the vjp is another stride-1 conv (no lhs dilation).
+    """
+    w = dft._np_window(wbytes, wdtype, n_fft)
+    taps = -(-_window_support(w) // hop)
+    C, S = dft._rdft_windowed_mats(n_fft, wbytes, wdtype)
+    WK = np.concatenate([C, S], axis=1)               # (n_fft, 2F)
+    rows = taps * hop
+    if rows > n_fft:
+        WK = np.pad(WK, ((0, rows - n_fft), (0, 0)))
+    return np.ascontiguousarray(WK[:rows].reshape(taps, hop, WK.shape[1]))
+
+
+def _stft_conv(x, window: np.ndarray, n_fft, hop, n_frames):
+    K = _stft_conv_kernel(n_fft, hop, window.tobytes(), str(window.dtype))
+    taps = K.shape[0]
+    F = K.shape[2] // 2
+    lead = x.shape[:-1]
+    L = x.shape[-1]
+    nb = max(-(-L // hop), n_frames - 1 + taps)
+    if nb * hop - L > 0:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, nb * hop - L)])
+    blocks = x.reshape((-1, nb, hop))
+    out = jax.lax.conv_general_dilated(
+        blocks, jnp.asarray(K, x.dtype), window_strides=(1,),
+        padding="VALID", dimension_numbers=("NHC", "HIO", "NHC"))
+    out = out[:, :n_frames]
+    spec = jnp.swapaxes(jax.lax.complex(out[..., :F], out[..., F:]), -1, -2)
+    return spec.reshape(lead + spec.shape[1:])  # (..., F, n_frames)
+
+
 def _stft_impl(x, window, *, n_fft, hop_length, center, pad_mode):
     if center:
         pad = n_fft // 2
@@ -114,6 +176,8 @@ def _stft_impl(x, window, *, n_fft, hop_length, center, pad_mode):
         x = jnp.pad(x, pad_widths, mode=pad_mode)
     length = x.shape[-1]
     n_frames = 1 + (length - n_fft) // hop_length
+    if isinstance(window, np.ndarray) and _conv_enabled():
+        return _stft_conv(x, window, n_fft, hop_length, n_frames)
     frames = _frame_polyphase(x, n_fft, hop_length, n_frames)
     if isinstance(window, np.ndarray):
         # window folded into the constant DFT matrix: no frames*window pass
@@ -175,12 +239,55 @@ def _clear_stft_cache():
 stft.clear_cache = _clear_stft_cache
 
 
+@functools.lru_cache(maxsize=None)
+def _istft_conv_kernel(n_fft: int, hop: int, wbytes: bytes, wdtype: str):
+    """Windowed irfft + overlap-add as ONE stride-1 conv over the frame axis.
+
+    Output block b (hop samples) collects y_block[b] = sum_j spec[b-j] @
+    V[:, j*hop:(j+1)*hop] — the OLA's 8-lane pad/add chain becomes the
+    conv's tap sum.  lax.conv with left padding (taps-1) computes
+    out[b] = sum_j z[b+j-(taps-1)] K[j], so the taps are stored REVERSED
+    (K[taps-1-j] = V_j).  Like the forward kernel, only
+    ceil(support/hop) taps are nonzero.
+    """
+    w = dft._np_window(wbytes, wdtype, n_fft)
+    taps = -(-_window_support(w) // hop)
+    iC, iS = dft._irdft_windowed_mats(n_fft, wbytes, wdtype)
+    VK = np.concatenate([iC, iS], axis=0)             # (2F, n_fft)
+    cols = taps * hop
+    if cols > n_fft:
+        VK = np.pad(VK, ((0, 0), (0, cols - n_fft)))
+    return np.ascontiguousarray(np.stack(
+        [VK[:, j * hop: (j + 1) * hop] for j in reversed(range(taps))],
+        axis=0))                                       # (taps, 2F, hop)
+
+
+def _istft_conv(spec, window: np.ndarray, n_fft, hop):
+    K = _istft_conv_kernel(n_fft, hop, window.tobytes(), str(window.dtype))
+    taps = K.shape[0]
+    lead = spec.shape[:-2]
+    n_frames = spec.shape[-1]
+    ola_len = n_fft + hop * (n_frames - 1)
+    z = jnp.concatenate([jnp.real(spec), jnp.imag(spec)], axis=-2)
+    z = jnp.swapaxes(z, -1, -2)                        # (..., T, 2F)
+    z = z.reshape((-1,) + z.shape[-2:])
+    blocks = jax.lax.conv_general_dilated(
+        z, jnp.asarray(K, z.dtype), window_strides=(1,),
+        padding=((taps - 1, taps - 1),),
+        dimension_numbers=("NHC", "HIO", "NHC"))
+    y = blocks.reshape(blocks.shape[0], -1)            # (N, (T+taps-1)*hop)
+    if y.shape[-1] < ola_len:                          # window support < n_fft:
+        y = jnp.pad(y, [(0, 0), (0, ola_len - y.shape[-1])])  # zero OLA tail
+    else:
+        y = y[:, :ola_len]
+    return y.reshape(lead + (ola_len,))
+
+
 def _istft_impl(spec, window, *, n_fft, hop_length, center, length):
     if isinstance(window, np.ndarray):
         # synthesis window folded into the inverse-DFT matrix (no mul pass);
         # envelope computed on the host at trace time
-        frames = dft.irfft_windowed(jnp.swapaxes(spec, -1, -2), window, n_fft)
-        n_frames = frames.shape[-2]
+        n_frames = spec.shape[-1]
         ola_len = n_fft + hop_length * (n_frames - 1)
         wsq = (window.astype(np.float64) ** 2)
         env_np = np.zeros(ola_len, np.float64)
@@ -188,7 +295,12 @@ def _istft_impl(spec, window, *, n_fft, hop_length, center, length):
             env_np[t * hop_length: t * hop_length + n_fft] += wsq
         env = jnp.asarray(np.where(env_np > 1e-11, env_np, 1.0)
                           .astype(np.float32))
-        y = _overlap_add_polyphase(frames, n_fft, hop_length)
+        if _conv_enabled():
+            y = _istft_conv(spec, window, n_fft, hop_length)
+        else:
+            frames = dft.irfft_windowed(jnp.swapaxes(spec, -1, -2), window,
+                                        n_fft)
+            y = _overlap_add_polyphase(frames, n_fft, hop_length)
         y = y / env
     else:
         frames = dft.irfft(jnp.swapaxes(spec, -1, -2), n_fft)

@@ -216,3 +216,34 @@ def test_losses_parity(rng):
         our_loss = float(get_loss(args, operator=our_op)(
             jnp.asarray(x), jnp.asarray(xh)))
         np.testing.assert_allclose(our_loss, ref_loss, rtol=2e-3), name
+
+
+def test_subband_overlap_save_matches_full(ours_informed, rng, monkeypatch):
+    """BUDDY_SUBBAND_OS=1 (chunked overlap-save frame-axis convolution, the
+    TPU serving path) == the one-shot full-size DFT convolution, values and
+    H-gradients, with and without a precomputed (segmented) Xf."""
+    op = ours_informed
+    T = 516
+    X = (rng.standard_normal((513, T)) + 1j * rng.standard_normal((513, T))
+         ).astype(np.complex64)
+    H = _random_H(rng)
+
+    def run(flag, hoist):
+        monkeypatch.setenv("BUDDY_SUBBAND_OS", flag)
+        Xf = op.frame_fft(jnp.asarray(X)) if hoist else None
+        Y = op.subband_filtering(jnp.asarray(X), jnp.asarray(H), Xf=Xf)
+
+        def loss(hr):
+            h = hr[0] + 1j * hr[1]
+            Yl = op.subband_filtering(jnp.asarray(X), h, Xf=Xf)
+            return jnp.sum(jnp.abs(Yl) ** 2)
+        g = jax.grad(loss)(jnp.stack([np.real(H), np.imag(H)]))
+        return np.asarray(Y), np.asarray(g)
+
+    Y0, g0 = run("0", False)
+    monkeypatch.setenv("BUDDY_SUBBAND_OS", "1")
+    assert op._os_chunk_count(T, 100) == 4
+    for hoist in (False, True):
+        Y1, g1 = run("1", hoist)
+        np.testing.assert_allclose(Y1, Y0, atol=2e-5 * np.abs(Y0).max())
+        np.testing.assert_allclose(g1, g0, atol=2e-5 * np.abs(g0).max())

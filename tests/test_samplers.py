@@ -254,12 +254,29 @@ def test_wpe_golden():
     conf/tester/blind_dereverberation_BUDDy.yaml).  Gates silent numeric
     drift in the pure-JAX WPE (reference EulerHeunSamplerDPS.py:32-54);
     nara_wpe isn't installable here, so the golden is self-pinning."""
+    from buddy_tpu.ops import stft as stft_fn, istft as istft_fn
     from buddy_tpu.sampling.wpe import wpe_dereverb
 
+    # the golden pins the canonical (polyphase+DFT) path; conv-formulated
+    # STFT rounding drifts ~1e-3 through the 5 WPE iterations
+    monkey = os.environ.get("BUDDY_STFT_CONV")
+    os.environ["BUDDY_STFT_CONV"] = "0"
+    stft_fn.clear_cache()
+    istft_fn.clear_cache()
+    wpe_dereverb.clear_cache()  # jitted; may hold a conv-path trace
     g = np.load(os.path.join(os.path.dirname(__file__), "goldens",
                              "wpe_golden.npz"))
-    z = np.asarray(wpe_dereverb(jnp.asarray(g["y"]), taps=50, delay=2,
-                                iterations=5))
+    try:
+        z = np.asarray(wpe_dereverb(jnp.asarray(g["y"]), taps=50, delay=2,
+                                    iterations=5))
+    finally:
+        if monkey is None:
+            del os.environ["BUDDY_STFT_CONV"]
+        else:
+            os.environ["BUDDY_STFT_CONV"] = monkey
+        stft_fn.clear_cache()
+        istft_fn.clear_cache()
+        wpe_dereverb.clear_cache()
     assert np.isfinite(z).all()
     scale = np.abs(g["z"]).max()
     np.testing.assert_allclose(z, g["z"], atol=1e-4 * scale, rtol=0)

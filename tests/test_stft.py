@@ -174,6 +174,9 @@ def test_numpy_window_takes_folded_path(monkeypatch):
 
     monkeypatch.setattr(dft_mod, "rfft_windowed", count_r)
     monkeypatch.setattr(dft_mod, "irfft_windowed", count_i)
+    # this test pins the folded-MATMUL dispatch; the conv formulation (its
+    # own test above) bypasses rfft_windowed entirely
+    monkeypatch.setenv("BUDDY_STFT_CONV", "0")
     stft.clear_cache()
     istft.clear_cache()
     try:
@@ -186,3 +189,52 @@ def test_numpy_window_takes_folded_path(monkeypatch):
     finally:
         stft.clear_cache()
         istft.clear_cache()
+
+
+@pytest.mark.parametrize("n_fft,win,hop,pad_mode,length", [
+    (1024, 512, 128, "constant", 65536),  # operator STFT (padded window)
+    (512, 512, 128, "constant", 16384),   # WPE STFT
+    (510, 510, 128, "reflect", 33600),    # model STFT (n_fft % hop != 0)
+])
+def test_conv_stft_istft_paths_match(monkeypatch, rng, n_fft, win, hop,
+                                     pad_mode, length):
+    """BUDDY_STFT_CONV=1 (framing+DFT as one stride-1 conv over hop-blocks,
+    ops/stft.py:_stft_conv/_istft_conv — the TPU serving path) computes the
+    same values AND gradients as the polyphase+DFT reference path."""
+    import jax
+
+    w = hann_window(win)
+    if win < n_fft:
+        w = np.pad(w, (0, n_fft - win))
+    x = rng.standard_normal((2, length)).astype(np.float32)
+
+    def run(flag):
+        monkeypatch.setenv("BUDDY_STFT_CONV", flag)
+        stft.clear_cache()
+        istft.clear_cache()
+        X = stft(jnp.asarray(x), w, n_fft=n_fft, hop_length=hop,
+                 pad_mode=pad_mode)
+        y = istft(X * (1 + 0.25j), w, n_fft=n_fft, hop_length=hop,
+                  length=length)
+
+        def loss(xx):
+            Xl = stft(xx, w, n_fft=n_fft, hop_length=hop, pad_mode=pad_mode)
+            yl = istft(Xl * (1 + 0.25j), w, n_fft=n_fft, hop_length=hop,
+                       length=length)
+            return jnp.sum(yl ** 2)
+        g = jax.grad(loss)(jnp.asarray(x))
+        return np.asarray(X), np.asarray(y), np.asarray(g)
+
+    try:
+        X0, y0, g0 = run("0")
+        X1, y1, g1 = run("1")
+    finally:
+        stft.clear_cache()
+        istft.clear_cache()
+    np.testing.assert_allclose(X1, X0, atol=2e-5 * np.abs(X0).max())
+    # rtol covers the boundary frames where the tiny window-squared envelope
+    # amplifies f32 rounding into O(1e-3) absolute differences
+    np.testing.assert_allclose(y1, y0, rtol=2e-4,
+                               atol=2e-5 * np.abs(y0).max())
+    np.testing.assert_allclose(g1, g0, rtol=1e-3,
+                               atol=2e-5 * np.abs(g0).max())
