@@ -66,7 +66,14 @@ def build_inputs():
     op_hp = compose("conf_VCTK.yaml", [
         "tester=blind_dereverberation_BUDDy"])[
             "tester"]["informed_dereverberation"]["op_hp"]
+    # QM_SPEAKERS=p287 restricts scoring to one speaker (held-out eval:
+    # train with dset.train.speakers_discard=["p287"], score only p287)
     utts = [("p226", "p226_003"), ("p287", "p287_005")]
+    only = os.environ.get("QM_SPEAKERS")
+    if only:
+        keep = set(only.split(","))
+        utts = [u for u in utts if u[0] in keep]
+        assert utts, f"QM_SPEAKERS={only} matched no example utterances"
     data = []
     for spk, utt in utts:
         clean, _ = read_wav(
