@@ -247,3 +247,16 @@ def test_subband_overlap_save_matches_full(ours_informed, rng, monkeypatch):
         Y1, g1 = run("1", hoist)
         np.testing.assert_allclose(Y1, Y0, atol=2e-5 * np.abs(Y0).max())
         np.testing.assert_allclose(g1, g0, atol=2e-5 * np.abs(g0).max())
+
+
+def test_os_chunk_policy(ours_informed, monkeypatch):
+    """Overlap-save engages only for long frame axes and honors the env
+    gate (short spectrograms — e.g. the reg-loss impulse path — must stay
+    on the one-shot DFT so the precomputed _X_imp_f remains valid)."""
+    op = ours_informed
+    monkeypatch.setenv("BUDDY_SUBBAND_OS", "1")
+    assert op._os_chunk_count(516, 100) == 4
+    assert op._os_chunk_count(255, 100) == 1   # below the threshold
+    assert op._os_chunk_count(110, 100) == 1   # impulse-path length
+    monkeypatch.setenv("BUDDY_SUBBAND_OS", "0")
+    assert op._os_chunk_count(516, 100) == 1

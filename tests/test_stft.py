@@ -238,3 +238,40 @@ def test_conv_stft_istft_paths_match(monkeypatch, rng, n_fft, win, hop,
                                atol=2e-5 * np.abs(y0).max())
     np.testing.assert_allclose(g1, g0, rtol=1e-3,
                                atol=2e-5 * np.abs(g0).max())
+
+
+def test_conv_path_dispatch_pinned(monkeypatch):
+    """BUDDY_STFT_CONV=1 must actually route through _stft_conv/_istft_conv
+    (the TPU serving path) — guards against a refactor silently falling
+    back to the slower polyphase machinery."""
+    import buddy_tpu.ops.stft  # noqa: F401 — module object via sys.modules
+    import sys
+    stft_mod = sys.modules["buddy_tpu.ops.stft"]
+
+    calls = {"stft": 0, "istft": 0}
+    orig_s, orig_i = stft_mod._stft_conv, stft_mod._istft_conv
+
+    def count_s(*a, **k):
+        calls["stft"] += 1
+        return orig_s(*a, **k)
+
+    def count_i(*a, **k):
+        calls["istft"] += 1
+        return orig_i(*a, **k)
+
+    monkeypatch.setattr(stft_mod, "_stft_conv", count_s)
+    monkeypatch.setattr(stft_mod, "_istft_conv", count_i)
+    monkeypatch.setenv("BUDDY_STFT_CONV", "1")
+    stft.clear_cache()
+    istft.clear_cache()
+    try:
+        w = hann_window(510)
+        x = jnp.asarray(np.random.default_rng(0)
+                        .standard_normal((1, 4096)).astype(np.float32))
+        X = stft(x, w, n_fft=510, hop_length=128)
+        y = istft(X, w, n_fft=510, hop_length=128, length=4096)
+        assert y.shape == (1, 4096)
+        assert calls["stft"] == 1 and calls["istft"] == 1
+    finally:
+        stft.clear_cache()
+        istft.clear_cache()
