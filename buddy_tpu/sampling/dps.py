@@ -294,6 +294,10 @@ class EulerHeunSamplerDPS(EulerHeunSampler):
             return (carry, x_den), None
 
         inputs = (t[:-1], t[1:], gamma[:-1])
+        # NOTE outer unroll=2 was TPU-benched r5 and REJECTED: parity
+        # unchanged (4.022), fast path WORSE (7.373 vs 7.48) + ~40% more
+        # compile — the 1.1 ms/step `while` self-time is not recoverable
+        # by unrolling on this backend
         ((x, _, op_params, _, H), x_den_final), _ = jax.lax.scan(
             step, ((x, rng, op_params, opt_state, H), jnp.zeros_like(x)),
             inputs)
